@@ -5,7 +5,9 @@ Must set XLA flags before jax initialises.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU regardless of the ambient platform (the dev box presets
+# JAX_PLATFORMS to the TPU tunnel); override with LBM_TEST_PLATFORM
+os.environ["JAX_PLATFORMS"] = os.environ.get("LBM_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
