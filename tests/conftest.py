@@ -1,13 +1,12 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initialises.
+XLA_FLAGS must be set before the CPU backend initialises; the platform
+choice must go through jax.config (the dev box's axon TPU-tunnel plugin
+overrides the JAX_PLATFORMS environment variable).
 """
 
 import os
 
-# force CPU regardless of the ambient platform (the dev box presets
-# JAX_PLATFORMS to the TPU tunnel); override with LBM_TEST_PLATFORM
-os.environ["JAX_PLATFORMS"] = os.environ.get("LBM_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +15,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", os.environ.get("LBM_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,108 @@
+"""Sharded-vs-single-device equivalence on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jrl_lbm_tpu.models import cylinder as cyl
+from jrl_lbm_tpu.ops import stream as _stream
+from jrl_lbm_tpu.parallel import make_mesh, make_single_domain, pad_periodic
+from jrl_lbm_tpu.parallel import padded_ops as pops
+from jrl_lbm_tpu.parallel.sharded import (
+    make_sharded_cylinder_runner,
+    make_sharded_cylinder_step,
+    shard_state,
+)
+from jrl_lbm_tpu.utils.types import CellType
+
+
+def test_eight_devices_available():
+    assert jax.device_count() == 8
+
+
+def test_padded_propagate_matches_core_single_device():
+    """The padded op on a periodic-padded single block == the core op."""
+    rng = np.random.default_rng(0)
+    H, W = 12, 10
+    f = jnp.asarray(rng.uniform(0.1, 1.0, size=(9, H, W)).astype(np.float32))
+    flags = rng.choice(
+        [int(CellType.FLUID), int(CellType.OBSTACLE), int(CellType.OUTFLOW),
+         int(CellType.INFLOW), int(CellType.INFLOW_2)],
+        size=(H, W),
+    ).astype(np.int32)
+    flags = jnp.asarray(flags)
+    phi = jnp.asarray(rng.uniform(-0.5, 1.5, size=(H, W)).astype(np.float32))
+    rho = jnp.asarray(rng.uniform(0.5, 1.5, size=(H, W)).astype(np.float32))
+    vel = jnp.asarray(rng.uniform(-0.05, 0.05, size=(2, H, W)).astype(np.float32))
+    iv = np.array([0.01, 0.02], np.float32)
+
+    rho_c, vel_c, f_c = _stream.propagate(
+        f, flags, phi_obs=phi, rho=rho, vel=vel, inflow_vel=iv, inflow_density=0.7
+    )
+    dom = make_single_domain((H, W))
+    rho_p, vel_p, f_p = pops.propagate_padded(
+        pad_periodic(f), pad_periodic(flags), dom,
+        phi_obs=phi, rho=rho, vel=vel, inflow_vel=iv, inflow_density=0.7,
+    )
+    # identical math, but jit-vs-eager fusion can differ in the last ulp
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_c), rtol=2e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(rho_p), np.asarray(rho_c), rtol=2e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(vel_p), np.asarray(vel_c), rtol=2e-6, atol=2e-7)
+
+
+def test_padded_propagate_axisymmetric_matches_core():
+    rng = np.random.default_rng(3)
+    H, W = 12, 8
+    f = jnp.asarray(rng.uniform(0.1, 1.0, size=(9, H, W)).astype(np.float32))
+    flags = rng.choice(
+        [int(CellType.FLUID), int(CellType.FLUID), int(CellType.OBSTACLE),
+         int(CellType.OUTFLOW)],
+        size=(H, W),
+    ).astype(np.int32)
+    flags = jnp.asarray(flags)
+    phi = jnp.asarray(rng.uniform(-0.5, 1.5, size=(H, W)).astype(np.float32))
+
+    _, _, f_c = _stream.propagate(f, flags, phi_obs=phi, axisymmetric_type=1)
+    dom = make_single_domain((H, W), axisymmetric_type=1)
+    _, _, f_p = pops.propagate_padded(
+        pad_periodic(f), pad_periodic(flags), dom, phi_obs=phi
+    )
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_c), rtol=2e-6, atol=2e-7)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8)])
+def test_sharded_cylinder_step_matches_unsharded(mesh_shape):
+    """N steps of the sharded cylinder step == the single-device step."""
+    cfg = cyl.CylinderConfig(res=(48, 32), D=8.0, Re=500.0)
+    state, fields = cyl.init(cfg)
+    run_ref = cyl.make_runner(cfg)
+    ref = run_ref(state, fields, 20)
+
+    mesh = make_mesh(mesh_shape)
+    sstate, sfields = shard_state(state, fields, mesh)
+    run_sh = make_sharded_cylinder_runner(cfg, mesh)
+    out = run_sh(sstate, sfields, 20)
+
+    # 20 steps of accumulated last-ulp fusion differences stay tiny
+    np.testing.assert_allclose(
+        np.asarray(out["f"]), np.asarray(ref["f"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rho"]), np.asarray(ref["rho"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["vel"]), np.asarray(ref["vel"]), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_sharded_step_is_actually_sharded():
+    cfg = cyl.CylinderConfig(res=(48, 32), D=8.0, Re=500.0)
+    state, fields = cyl.init(cfg)
+    mesh = make_mesh((2, 4))
+    sstate, sfields = shard_state(state, fields, mesh)
+    step = make_sharded_cylinder_step(cfg, mesh)
+    out = jax.jit(step)(sstate, sfields)
+    # output stays sharded over the mesh
+    shard_shapes = {s.data.shape for s in out["f"].addressable_shards}
+    assert shard_shapes == {(9, 24, 8)}
