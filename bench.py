@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark: MLUPS on the 2048^2 D2Q9 cylinder scene (BASELINE.md target).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / 1000 (the >=1000 MLUPS/chip north-star; the
+reference publishes no numbers of its own, BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+
+def main():
+    res = (2048, 2048)
+    warmup_steps = 20
+    bench_steps = 200
+
+    from jrl_lbm_tpu.models import cylinder as cyl
+
+    use_fused = os.environ.get("LBM_BENCH_FUSED", "1") != "0"
+    cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
+    state, fields = cyl.init(cfg)
+    run = None
+    if use_fused:
+        try:
+            from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+            run = fs.make_fused_cylinder_runner(cfg)
+        except Exception as e:  # fall back to the reference jnp path
+            print(f"fused path unavailable ({e}); using jnp path", file=sys.stderr)
+    if run is None:
+        run = cyl.make_runner(cfg)
+
+    state = run(state, fields, warmup_steps)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    state = run(state, fields, bench_steps)
+    jax.block_until_ready(state)
+    t1 = time.perf_counter()
+
+    cells = res[0] * res[1]
+    mlups = cells * bench_steps / (t1 - t0) / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "MLUPS_2048sq_D2Q9_cylinder",
+                "value": round(mlups, 1),
+                "unit": "MLUPS/chip",
+                "vs_baseline": round(mlups / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
