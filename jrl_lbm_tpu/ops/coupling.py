@@ -78,6 +78,8 @@ def _solve_boundary_impl(
         valid.append(v_q)
         vmask = v_q.astype(dtype)
         count = count + vmask
+        # guard: t == -1 exactly would give 0 * inf = NaN under the mask
+        tq = jnp.where(v_q, t, jnp.zeros_like(t))
 
         # upstream fluid velocity at income position (cell - e_q)
         ux = at(vel[0], -ex, -ey)
@@ -90,15 +92,15 @@ def _solve_boundary_impl(
         if has_obs_vel:
             obs_ux = at(obs_vel[0], ex, ey)
             obs_uy = at(obs_vel[1], ex, ey)
-            vel_tgt_x = vel_tgt_x + vmask * (t * ux + obs_ux) / (t + 1.0)
-            vel_tgt_y = vel_tgt_y + vmask * (t * uy + obs_uy) / (t + 1.0)
+            vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
+            vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
             qi = int(REFL[q])
             rho_tgt = rho_tgt + vmask * 6.0 * float(w_np[q]) * (
                 float(E[qi, 0]) * obs_ux + float(E[qi, 1]) * obs_uy
             )
         else:
-            vel_tgt_x = vel_tgt_x + vmask * t * ux / (t + 1.0)
-            vel_tgt_y = vel_tgt_y + vmask * t * uy / (t + 1.0)
+            vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
+            vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
 
     safe_count = jnp.where(count > 0, count, jnp.ones_like(count))
     u0 = vel_tgt_x / safe_count

@@ -330,6 +330,7 @@ def solve_boundary_padded(
         valid.append(v_q)
         vmask = v_q.astype(dtype)
         count = count + vmask
+        tq = jnp.where(v_q, t, jnp.zeros_like(t))
 
         ux = at2(velp[0], -ex, -ey, is_fluid, dom)
         uy = at2(velp[1], -ex, -ey, is_fluid, dom)
@@ -341,15 +342,15 @@ def solve_boundary_padded(
         if obs_vel_p is not None:
             obs_ux = at2(obs_vel_p[0], ex, ey, is_fluid, dom)
             obs_uy = at2(obs_vel_p[1], ex, ey, is_fluid, dom)
-            vel_tgt_x = vel_tgt_x + vmask * (t * ux + obs_ux) / (t + 1.0)
-            vel_tgt_y = vel_tgt_y + vmask * (t * uy + obs_uy) / (t + 1.0)
+            vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
+            vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
             qi = int(REFL[q])
             rho_tgt = rho_tgt + vmask * 6.0 * float(w_np[q]) * (
                 float(E[qi, 0]) * obs_ux + float(E[qi, 1]) * obs_uy
             )
         else:
-            vel_tgt_x = vel_tgt_x + vmask * t * ux / (t + 1.0)
-            vel_tgt_y = vel_tgt_y + vmask * t * uy / (t + 1.0)
+            vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
+            vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
 
     safe_count = jnp.where(count > 0, count, jnp.ones_like(count))
     u0 = vel_tgt_x / safe_count

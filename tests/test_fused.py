@@ -1,0 +1,39 @@
+"""Fused Pallas step vs the unfused jnp step (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jrl_lbm_tpu.models import cylinder as cyl
+from jrl_lbm_tpu.utils.types import CellType
+
+
+def _compare(cfg, n_steps, tile_rows):
+    from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    state, fields = cyl.init(cfg)
+    ref = cyl.make_runner(cfg)(state, fields, n_steps)
+
+    step = fs.make_fused_step(cfg, tile_rows=tile_rows)
+    out = dict(state)
+    for _ in range(n_steps):
+        out = step(out, fields)
+
+    flags = np.asarray(fields["flags"])
+    fluid = flags != int(CellType.OBSTACLE)
+    for key, tol in (("f", 2e-5), ("rho", 2e-5), ("vel", 2e-4)):
+        a = np.asarray(out[key])
+        b = np.asarray(ref[key])
+        mask = fluid if a.ndim == 2 else np.broadcast_to(fluid, a.shape)
+        np.testing.assert_allclose(a[mask], b[mask], rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("tile_rows", [8, 16])
+def test_fused_matches_unfused_interpret(tile_rows):
+    """Run the Pallas kernel in interpreter mode and compare 5 steps."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = cyl.CylinderConfig(res=(64, 32), D=8.0, Re=500.0)
+    with pltpu.force_tpu_interpret_mode():
+        _compare(cfg, n_steps=5, tile_rows=tile_rows)
