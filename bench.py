@@ -12,6 +12,13 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: Mosaic compiles of the fused kernels take
+# minutes cold; warm runs (same HLO) start in seconds.
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():
@@ -36,11 +43,13 @@ def main():
         run = cyl.make_runner(cfg)
 
     state = run(state, fields, warmup_steps)
-    jax.block_until_ready(state)
+    # force a host fetch: on remote-tunnel setups block_until_ready can
+    # return before device completion
+    float(jnp.sum(state["rho"]))
 
     t0 = time.perf_counter()
     state = run(state, fields, bench_steps)
-    jax.block_until_ready(state)
+    float(jnp.sum(state["rho"]))
     t1 = time.perf_counter()
 
     cells = res[0] * res[1]

@@ -1,23 +1,24 @@
-"""Fused whole-step Pallas kernel for the cylinder-channel scene.
+"""Fused whole-step Pallas kernels for the cylinder-channel scene.
 
-One kernel performs the complete lattice update that the reference issues
-as ~6 separate dispatches per step (propagation kernel, solid-fluid
-coupling kernel, torch macro reduce, torch MRT collision —
+One fused pass performs the complete lattice update that the reference
+issues as ~6 separate dispatches per step (propagation kernel,
+solid-fluid coupling kernel, torch macro reduce, torch MRT collision —
 `demo_2d_LBM_cylinder.py:138-174`): pull-streaming with flag boundary
 conditions, curved-boundary reconstruction, macroscopic moments, and MRT
-collision — reading f once from HBM and writing it once.
+collision.
 
 Performance structure:
-* grid walks row-tiles of TH rows x full width; haloed inputs (f, flags,
-  vel) are DMA'd manually (8-row-aligned halo groups; Mosaic requires
-  tile-aligned HBM slices), outputs go through auto-pipelined BlockSpecs;
-* the sub-grid interpolation bounce-back and the entire solid-fluid
-  coupling pass are executed under `pl.when(any(t_ok))` — only tiles that
-  contain cells within the phi_obs in-range band (the curved obstacle
-  surface) pay for them. For the 2048^2 cylinder that is ~5% of tiles;
-* the OUTFLOW copy runs only on tiles that contain OUTFLOW cells;
-* the INFLOW equilibrium is constant-folded to 9 scalars (the plug
-  profile is uniform).
+* static two-call specialization by row-tile: "interior" tiles (plain
+  channel between the two OBSTACLE wall columns — ~90-95% of a 2048^2
+  domain) run a lean kernel with static wall bounce-back masks; the
+  "band" tiles (cylinder +margin, INFLOW row, OUTFLOW row) run the
+  full-boundary kernel, writing into the interior call's buffers via
+  `input_output_aliases`. (A per-tile `pl.when` gate was measured to be
+  useless: Mosaic hoists the pure computation out of the branch.)
+* y-halos are expressed as additional BlockSpec inputs whose index maps
+  point at the neighbouring row-blocks of the same arrays; Mosaic
+  double-buffers and overlaps all block DMA with compute (a manual-DMA
+  variant ran ~2x slower on DMA-wait serialization).
 
 Semantics notes (differences from the unfused ops, dynamics-neutral for
 this scene):
@@ -55,12 +56,6 @@ REFL = lattice.REFLECT
 W_Q = lattice.W
 CS2 = 1.0 / 3.0
 
-# debug/tuning: section toggle, e.g. LBM_FUSED_SKIP="interp,sfc,outflow"
-import os as _os
-_SKIP = frozenset(
-    x for x in _os.environ.get("LBM_FUSED_SKIP", "").split(",") if x
-)
-
 
 def _feq_terms(rho, ux, uy):
     """Equilibrium (works for both scalars and tiles) -> 9 values."""
@@ -76,61 +71,39 @@ def _feq_terms(rho, ux, uy):
     return out
 
 
-def _make_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                 has_inflow2):
-    n_tiles = H // TH
+def _mrt_apply(A, fb, feq_n, is_obs, f_out):
+    """Unrolled M^-1 S M relaxation + obstacle passthrough."""
+    d = [feq_n[q] - fb[q] for q in range(9)]
+    for a in range(9):
+        omega = A[a][0] * d[0]
+        for b in range(1, 9):
+            omega = omega + A[a][b] * d[b]
+        f_out[a] = jnp.where(is_obs, fb[a], fb[a] + omega)
+
+
+def _stitch(tp, mid, bt):
+    """[TH+2, W] padded plane from a row-block and its neighbours."""
+    return jnp.concatenate([tp[..., -1:, :], mid, bt[..., 0:1, :]], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Full-boundary kernel (all six cell types) — for band tiles and as the
+# generic fallback for arbitrary flag fields.
+# ---------------------------------------------------------------------------
+
+def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
+                      minv_s_m, has_inflow2, tile_map):
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
 
     def kernel(
-        flags_hbm,
-        f_hbm,
-        vel_hbm,
-        rho_blk,
-        phi_blk,
-        f_out,
-        rho_out,
-        vel_out,
-        f_m,
-        f_tp,
-        f_bt,
-        fl_m,
-        fl_tp,
-        fl_bt,
-        vel_m,
-        vel_tp,
-        vel_bt,
-        fbuf,  # [9, TH, W] staging for the streamed state
-        sems,
+        fl_tp, fl_m, fl_bt,
+        f_tp, f_m, f_bt,
+        vel_tp, vel_m, vel_bt,
+        rho_blk, phi_blk,
+        f_out, rho_out, vel_out,
     ):
-        i = pl.program_id(0)
-        t0 = pl.multiple_of(i * TH, 8)
-        top = pl.multiple_of(jax.lax.rem(t0 - 8 + H, H), 8)
-        bot = pl.multiple_of(jax.lax.rem(t0 + TH, H), 8)
-
-        def dma(src, dst, sem):
-            cp = pltpu.make_async_copy(src, dst, sem)
-            cp.start()
-            return cp
-
-        cps = [
-            dma(f_hbm.at[:, pl.ds(t0, TH), :], f_m, sems.at[0]),
-            dma(f_hbm.at[:, pl.ds(top, 8), :], f_tp, sems.at[1]),
-            dma(f_hbm.at[:, pl.ds(bot, 8), :], f_bt, sems.at[2]),
-            dma(flags_hbm.at[pl.ds(t0, TH), :], fl_m, sems.at[3]),
-            dma(flags_hbm.at[pl.ds(top, 8), :], fl_tp, sems.at[4]),
-            dma(flags_hbm.at[pl.ds(bot, 8), :], fl_bt, sems.at[5]),
-            dma(vel_hbm.at[:, pl.ds(t0, TH), :], vel_m, sems.at[6]),
-            dma(vel_hbm.at[:, pl.ds(top, 8), :], vel_tp, sems.at[7]),
-            dma(vel_hbm.at[:, pl.ds(bot, 8), :], vel_bt, sems.at[8]),
-        ]
-        for cp in cps:
-            cp.wait()
-
-        def stitch(main, tp, bt):
-            """Padded [TH+2, W] value: tile + adjacent rows of the 8-row
-            halo groups."""
-            return jnp.concatenate([tp[..., 7:8, :], main, bt[..., 0:1, :]], axis=-2)
+        t0 = tile_map(pl.program_id(0)) * TH
 
         gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
@@ -139,7 +112,7 @@ def _make_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
         at_x0 = gx == 0
         at_xW = gx == W - 1
 
-        flags_pad = stitch(fl_m[:], fl_tp[:], fl_bt[:])
+        flags_pad = _stitch(fl_tp[:], fl_m[:], fl_bt[:])
         flags = fl_m[:]
         is_fluid = flags == FLUID
         not_fluid = jnp.logical_not(is_fluid)
@@ -147,7 +120,8 @@ def _make_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
 
         def pull(plane_pad, ex, ey, style):
             """Value at cell from (y-ey, x-ex) with the reference's
-            flag-dependent neighbour rules."""
+            flag-dependent neighbour rules (propagation.cu:84-87 /
+            collision_2d.cu:69-72)."""
 
             def rows(yoff):
                 return plane_pad[1 + yoff : 1 + yoff + TH, :]
@@ -159,8 +133,6 @@ def _make_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
 
             def cands(e_comp, lo_mask, hi_mask):
                 cs = [(None, -e_comp)]
-                if style == "plain":
-                    return cs
                 if e_comp == 1:
                     off = 1 if style == "reflect" else 0
                     cs.append((lo_mask & not_fluid, off))
@@ -185,51 +157,33 @@ def _make_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
         rho_prev = rho_blk[:]
         eps = 1e-10
         t_ok = (phi > -eps) & (phi <= 1.0 + eps)
-        any_tok = jnp.any(t_ok)
 
-        f_pad = [stitch(f_m[q], f_tp[q], f_bt[q]) for q in range(9)]
+        f_pad = [_stitch(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]
+        vel_pad = [_stitch(vel_tp[c], vel_m[c], vel_bt[c]) for c in range(2)]
         vel_x = vel_m[0]
         vel_y = vel_m[1]
 
-        # ---- base streaming: half-way bounce-back everywhere ----
+        # ---- streaming with sub-grid interpolation bounce-back ----
         raw_in = [f_m[0]]
-        nbr_obs_l = [None]
         for q in range(1, 9):
             ex, ey = int(E[q, 0]), int(E[q, 1])
-            style = "plain" if "fixes" in _SKIP else "reflect"
-            val = pull(f_pad[q], ex, ey, style)
-            raw_in.append(val)
-            if "nbrobs" in _SKIP:
-                nbr_obs_l.append(jnp.zeros((TH, W), jnp.bool_))
-            else:
-                nbr_obs_l.append(pull(obs_pad, ex, ey, style) > 0.5)
-        fbuf[0] = raw_in[0]
+            raw_in.append(pull(f_pad[q], ex, ey, "reflect"))
+        f_new = [f_m[0]]
         for q in range(1, 9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
             f_this = f_m[int(REFL[q])]
-            streamed = jnp.where(nbr_obs_l[q], f_this, raw_in[q])
-            fbuf[q] = jnp.where(is_obs, raw_in[int(REFL[q])], streamed)
-
-        # ---- sub-grid interpolation bounce-back: only near the curved
-        # surface (phi in-range band present in this tile) ----
-        @pl.when(any_tok if "interp" not in _SKIP else (any_tok & False))
-        def _interp():
-            if "interp" in _SKIP:
-                return
-            for q in range(1, 9):
-                ex, ey = int(E[q, 0]), int(E[q, 1])
-                f_this = f_m[int(REFL[q])]
-                f_prev = raw_in[q]
-                nxt = pull(f_pad[int(REFL[q])], -ex, -ey, "reflect")
-                v1 = (2.0 * phi - 1.0) * f_prev + (2.0 - 2.0 * phi) * f_this
-                v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
-                v_obs = jnp.where(phi >= 0.5, v1, v2)
-                mask = nbr_obs_l[q] & t_ok & jnp.logical_not(is_obs)
-                fbuf[q] = jnp.where(mask, v_obs, fbuf[q])
+            nxt = pull(f_pad[int(REFL[q])], -ex, -ey, "reflect")
+            v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
+            v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
+            v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
+            streamed = jnp.where(nbr_obs, v_obs, raw_in[q])
+            f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
 
         # ---- INFLOW: constant plug equilibrium ----
         in_mask = flags == INFLOW
         for q in range(9):
-            fbuf[q] = jnp.where(in_mask, FEQ_IN[q], fbuf[q])
+            f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
         rho_after = jnp.where(in_mask, inflow_density, rho_prev)
         velx_after = jnp.where(in_mask, inflow_vx, vel_x)
         vely_after = jnp.where(in_mask, inflow_vy, vel_y)
@@ -238,114 +192,300 @@ def _make_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
             in2_mask = flags == INFLOW_2
             feq_in2 = _feq_terms(jnp.ones((TH, W), jnp.float32), vel_x, vel_y)
             for q in range(9):
-                fbuf[q] = jnp.where(in2_mask, feq_in2[q], fbuf[q])
+                f_new[q] = jnp.where(in2_mask, feq_in2[q], f_new[q])
             rho_after = jnp.where(in2_mask, 1.0, rho_after)
 
-        # ---- OUTFLOW: only tiles that contain OUTFLOW cells ----
+        # ---- OUTFLOW: copy from the inward neighbour (global borders) ----
         of_mask = flags == OUTFLOW
+        for q in range(9):
+            g = f_new[q]
+            g = jnp.where(at_y0, pltpu.roll(g, TH - 1, axis=0), g)
+            g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+            g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+            g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+            f_new[q] = jnp.where(of_mask, g, f_new[q])
 
-        @pl.when(jnp.any(of_mask) if "outflow" not in _SKIP else jnp.asarray(False))
-        def _outflow():
-            if "outflow" in _SKIP:
-                return
-            for q in range(9):
-                g = fbuf[q]
-                g = jnp.where(at_y0, pltpu.roll(g, TH - 1, axis=0), g)
-                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
-                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
-                fbuf[q] = jnp.where(of_mask, g, fbuf[q])
-
-        # ---- solid-fluid coupling: only near the curved surface ----
-        @pl.when(any_tok if "sfc" not in _SKIP else (any_tok & False))
-        def _sfc():
-            if "sfc" in _SKIP:
-                return
-            vel_pad = [stitch(vel_m[c], vel_tp[c], vel_bt[c]) for c in range(2)]
-            skip = is_obs | at_xW | at_yH
-            rho_tgt = fbuf[0]
-            for q in range(1, 9):
-                rho_tgt = rho_tgt + fbuf[q]
-            vel_tgt_x = jnp.zeros((TH, W), jnp.float32)
-            vel_tgt_y = jnp.zeros((TH, W), jnp.float32)
-            count = jnp.zeros((TH, W), jnp.float32)
-            valid = []
-            tq = jnp.where(t_ok, phi, 0.0)
-            for q in range(9):
-                ex, ey = int(E[q, 0]), int(E[q, 1])
-                nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
-                v_q = nbr_obs & t_ok
-                valid.append(v_q)
-                vmask = v_q.astype(jnp.float32)
-                count = count + vmask
-                ux = pull(vel_pad[0], ex, ey, "minmax")
-                uy = pull(vel_pad[1], ex, ey, "minmax")
-                # static obstacle: obs_vel == 0, so the blend reduces to
-                # t u / (t + 1) and there is no moving-wall rho term
-                vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
-                vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
-            safe_count = jnp.where(count > 0, count, 1.0)
-            u0 = vel_tgt_x / safe_count
-            u1 = vel_tgt_y / safe_count
-
-            def grad12(plane_pad):
-                def at(sx, sy):
-                    return pull(plane_pad, -sx, -sy, "minmax")
-
-                gxx = (
-                    4.0 * (at(1, 0) - at(-1, 0))
-                    + (at(1, 1) - at(-1, 1))
-                    + (at(1, -1) - at(-1, -1))
-                ) / 12.0
-                gyy = (
-                    4.0 * (at(0, 1) - at(0, -1))
-                    + (at(1, 1) - at(1, -1))
-                    + (at(-1, 1) - at(-1, -1))
-                ) / 12.0
-                return gxx, gyy
-
-            g00, g01 = grad12(vel_pad[0])
-            g10, g11 = grad12(vel_pad[1])
-
-            for q in range(9):
-                qi = int(REFL[q])
-                e0, e1 = float(E[qi, 0]), float(E[qi, 1])
-                pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
-                pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
-                pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
-                pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
-                recon = float(W_Q[qi]) * rho_tgt * (
-                    1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
-                )
-                mask = valid[q] & jnp.logical_not(skip)
-                fbuf[qi] = jnp.where(mask, recon, fbuf[qi])
-
-        # ---- macroscopic moments ----
-        fb = [fbuf[q] for q in range(9)]
-        macro_rho = fb[0]
+        # ---- solid-fluid coupling (static obstacle: obs_vel == 0) ----
+        skip = is_obs | at_xW | at_yH
+        rho_tgt = f_new[0]
         for q in range(1, 9):
-            macro_rho = macro_rho + fb[q]
+            rho_tgt = rho_tgt + f_new[q]
+        vel_tgt_x = jnp.zeros((TH, W), jnp.float32)
+        vel_tgt_y = jnp.zeros((TH, W), jnp.float32)
+        count = jnp.zeros((TH, W), jnp.float32)
+        valid = []
+        tq = jnp.where(t_ok, phi, 0.0)
+        for q in range(9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
+            v_q = nbr_obs & t_ok
+            valid.append(v_q)
+            vmask = v_q.astype(jnp.float32)
+            count = count + vmask
+            ux = pull(vel_pad[0], ex, ey, "minmax")
+            uy = pull(vel_pad[1], ex, ey, "minmax")
+            vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
+            vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
+        safe_count = jnp.where(count > 0, count, 1.0)
+        u0 = vel_tgt_x / safe_count
+        u1 = vel_tgt_y / safe_count
+
+        def grad12(plane_pad):
+            def at(sx, sy):
+                return pull(plane_pad, -sx, -sy, "minmax")
+
+            gxx = (
+                4.0 * (at(1, 0) - at(-1, 0))
+                + (at(1, 1) - at(-1, 1))
+                + (at(1, -1) - at(-1, -1))
+            ) / 12.0
+            gyy = (
+                4.0 * (at(0, 1) - at(0, -1))
+                + (at(1, 1) - at(1, -1))
+                + (at(-1, 1) - at(-1, -1))
+            ) / 12.0
+            return gxx, gyy
+
+        g00, g01 = grad12(vel_pad[0])
+        g10, g11 = grad12(vel_pad[1])
+
+        for q in range(9):
+            qi = int(REFL[q])
+            e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+            pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+            pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+            pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+            pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+            recon = float(W_Q[qi]) * rho_tgt * (
+                1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
+            )
+            mask = valid[q] & jnp.logical_not(skip)
+            f_new[qi] = jnp.where(mask, recon, f_new[qi])
+
+        # ---- macro + MRT ----
+        macro_rho = f_new[0]
+        for q in range(1, 9):
+            macro_rho = macro_rho + f_new[q]
         rho_n = jnp.where(is_obs, rho_after, macro_rho)
-        mom_x = fb[1] - fb[3] + fb[5] - fb[6] - fb[7] + fb[8]
-        mom_y = fb[2] - fb[4] + fb[5] + fb[6] - fb[7] - fb[8]
+        mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+        mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
         safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
         u_x = jnp.where(is_obs, velx_after, mom_x / safe_rho)
         u_y = jnp.where(is_obs, vely_after, mom_y / safe_rho)
 
-        # ---- MRT collision ----
-        feq_n = _feq_terms(rho_n, u_x, u_y)
-        d = [feq_n[q] - fb[q] for q in range(9)]
-        for a in range(9):
-            omega = A[a][0] * d[0]
-            for b in range(1, 9):
-                omega = omega + A[a][b] * d[b]
-            f_out[a] = jnp.where(is_obs, fb[a], fb[a] + omega)
-
+        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
 
-    return kernel, n_tiles
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Interior kernel: plain channel tiles (FLUID interior, OBSTACLE wall
+# columns at x=0 and x=W-1, nothing else).
+# ---------------------------------------------------------------------------
+
+def _make_interior_kernel(W, TH, minv_s_m):
+    A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+
+    def kernel(
+        f_tp, f_m, f_bt,
+        rho_blk, vel_blk,
+        f_out, rho_out, vel_out,
+    ):
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        at_x0 = gx == 0
+        at_xW = gx == W - 1
+        is_obs = at_x0 | at_xW  # static wall columns
+        nbr_lo = gx == 1  # pull neighbour is the left wall
+        nbr_hi = gx == W - 2
+
+        f_pad = [_stitch(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]
+
+        def pull(q):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            rows = f_pad[q][1 - ey : 1 - ey + TH, :]
+            if ex == 0:
+                return rows
+            base = pltpu.roll(rows, ex % W, axis=1)
+            # wall cells reflect-clamp: col0 pulls from col1, col W-1 from
+            # col W-2 (propagation.cu:84-85)
+            if ex == 1:
+                return jnp.where(at_x0, pltpu.roll(rows, W - 1, axis=1), base)
+            return jnp.where(at_xW, pltpu.roll(rows, 1, axis=1), base)
+
+        raw_in = [f_m[0]] + [pull(q) for q in range(1, 9)]
+        f_new = [raw_in[0]]
+        for q in range(1, 9):
+            ex = int(E[q, 0])
+            streamed = raw_in[q]
+            if ex == 1:
+                streamed = jnp.where(nbr_lo, f_m[int(REFL[q])], streamed)
+            elif ex == -1:
+                streamed = jnp.where(nbr_hi, f_m[int(REFL[q])], streamed)
+            f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
+
+        macro_rho = f_new[0]
+        for q in range(1, 9):
+            macro_rho = macro_rho + f_new[q]
+        rho_n = jnp.where(is_obs, rho_blk[:], macro_rho)
+        mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+        mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+        safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+        u_x = jnp.where(is_obs, vel_blk[0], mom_x / safe_rho)
+        u_y = jnp.where(is_obs, vel_blk[1], mom_y / safe_rho)
+
+        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+        rho_out[:] = rho_n
+        vel_out[0] = u_x
+        vel_out[1] = u_y
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Assembly
+# ---------------------------------------------------------------------------
+
+def _band_tiles(cfg, TH):
+    """Row-tiles that need the full-boundary kernel: the INFLOW row tile,
+    the OUTFLOW row tile, and the cylinder +-margin."""
+    H, _ = cfg.res
+    n = H // TH
+    cy = cfg.center[1]
+    r = cfg.D / 2.0
+    margin = 4.0
+    b0 = max(0, int((cy - r - margin) // TH))
+    b1 = min(n - 1, int((cy + r + margin) // TH))
+    return n, b0, b1
+
+
+def _full_specs(H, W, TH, tile_map):
+    """BlockSpecs for the full kernel: 3 row-blocks per haloed input."""
+    n = H // TH
+
+    def mid(i):
+        return tile_map(i)
+
+    def up(i):
+        return jax.lax.rem(tile_map(i) - 1 + n, n)
+
+    def dn(i):
+        return jax.lax.rem(tile_map(i) + 1, n)
+
+    def b2(im):
+        return pl.BlockSpec((TH, W), lambda i: (im(i), 0), memory_space=pltpu.VMEM)
+
+    def b3(im, c=9):
+        return pl.BlockSpec(
+            (c, TH, W), lambda i: (0, im(i), 0), memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        b2(up), b2(mid), b2(dn),  # flags
+        b3(up), b3(mid), b3(dn),  # f
+        b3(up, 2), b3(mid, 2), b3(dn, 2),  # vel
+        b2(mid),  # rho
+        b2(mid),  # phi
+    ]
+    out_specs = [b3(mid), b2(mid), b3(mid, 2)]
+    return in_specs, out_specs
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "H", "W", "TH", "tau", "inflow_density", "inflow_vx", "inflow_vy",
+        "minv_s_m", "has_inflow2", "b0", "b1",
+    ),
+)
+def _fused_step_split(f, rho, vel, flags, phi, H, W, TH, tau,
+                      inflow_density, inflow_vx, inflow_vy, minv_s_m,
+                      has_inflow2, b0, b1):
+    n = H // TH
+    n_band = (b1 - b0 + 1) + 2
+    n_int = n - n_band
+    c1 = b0 - 1
+    gap = b1 - b0 + 2
+
+    def int_map(i):
+        # interior tiles: [1 .. b0-1] then [b1+1 .. n-2]
+        return jnp.where(i < c1, i + 1, i + gap)
+
+    def band_map(i):
+        return jnp.where(
+            i == 0, 0, jnp.where(i <= b1 - b0 + 1, b0 + i - 1, n - 1)
+        )
+
+    f32 = jnp.float32
+
+    # ---- interior call (creates the output buffers) ----
+    def ib2(off):
+        return pl.BlockSpec(
+            (TH, W), lambda i: (int_map(i) + off, 0), memory_space=pltpu.VMEM
+        )
+
+    def ib3(off, c=9):
+        return pl.BlockSpec(
+            (c, TH, W), lambda i: (0, int_map(i) + off, 0), memory_space=pltpu.VMEM
+        )
+
+    ik = _make_interior_kernel(W, TH, minv_s_m)
+    f1, rho1, vel1 = pl.pallas_call(
+        ik,
+        grid=(n_int,),
+        in_specs=[ib3(-1), ib3(0), ib3(1), ib2(0), ib3(0, 2)],
+        out_specs=[ib3(0), ib2(0), ib3(0, 2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((2, H, W), f32),
+        ],
+    )(f, f, f, rho, vel)
+
+    # ---- band call: compact outputs (one row-block per band tile),
+    # merged into the interior buffers with in-place row updates. (An
+    # input_output_aliases pass-through was measured to force full-array
+    # copies, tripling the step time.) ----
+    bk = _make_full_kernel(
+        H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
+        has_inflow2, band_map,
+    )
+    in_specs, _ = _full_specs(H, W, TH, band_map)
+    compact_out = [
+        pl.BlockSpec((9, TH, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((TH, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, TH, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+    ]
+    f2c, rho2c, vel2c = pl.pallas_call(
+        bk,
+        grid=(n_band,),
+        in_specs=in_specs,
+        out_specs=compact_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, n_band * TH, W), f32),
+            jax.ShapeDtypeStruct((n_band * TH, W), f32),
+            jax.ShapeDtypeStruct((2, n_band * TH, W), f32),
+        ],
+    )(flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
+
+    # merge: band compact rows are [tile 0 | tiles b0..b1 | tile n-1]
+    nb_mid = b1 - b0 + 1
+
+    def merge(full, compact):
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, compact[..., 0:TH, :], 0, axis=full.ndim - 2
+        )
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, compact[..., TH : (1 + nb_mid) * TH, :], b0 * TH, axis=full.ndim - 2
+        )
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, compact[..., (1 + nb_mid) * TH :, :], H - TH, axis=full.ndim - 2
+        )
+        return full
+
+    return merge(f1, f2c), merge(rho1, rho2c), merge(vel1, vel2c)
 
 
 @partial(
@@ -355,49 +495,30 @@ def _make_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
         "minv_s_m", "has_inflow2",
     ),
 )
-def _fused_step(f, rho, vel, flags, phi, H, W, TH, tau,
-                inflow_density, inflow_vx, inflow_vy, minv_s_m, has_inflow2):
-    kernel, n_tiles = _make_kernel(
-        H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m, has_inflow2
+def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
+                        inflow_density, inflow_vx, inflow_vy, minv_s_m,
+                        has_inflow2):
+    n = H // TH
+    f32 = jnp.float32
+    k = _make_full_kernel(
+        H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
+        has_inflow2, lambda i: i,
     )
-    f_new, rho_new, vel_new = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # flags
-            pl.BlockSpec(memory_space=pl.ANY),  # f
-            pl.BlockSpec(memory_space=pl.ANY),  # vel
-            pl.BlockSpec((TH, W), lambda i: (i, 0), memory_space=pltpu.VMEM),  # rho
-            pl.BlockSpec((TH, W), lambda i: (i, 0), memory_space=pltpu.VMEM),  # phi
-        ],
-        out_specs=[
-            pl.BlockSpec((9, TH, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, TH, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ],
+    in_specs, out_specs = _full_specs(H, W, TH, lambda i: i)
+    return pl.pallas_call(
+        k,
+        grid=(n,),
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((9, H, W), f.dtype),
-            jax.ShapeDtypeStruct((H, W), rho.dtype),
-            jax.ShapeDtypeStruct((2, H, W), vel.dtype),
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((2, H, W), f32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((9, TH, W), jnp.float32),
-            pltpu.VMEM((9, 8, W), jnp.float32),
-            pltpu.VMEM((9, 8, W), jnp.float32),
-            pltpu.VMEM((TH, W), jnp.int32),
-            pltpu.VMEM((8, W), jnp.int32),
-            pltpu.VMEM((8, W), jnp.int32),
-            pltpu.VMEM((2, TH, W), jnp.float32),
-            pltpu.VMEM((2, 8, W), jnp.float32),
-            pltpu.VMEM((2, 8, W), jnp.float32),
-            pltpu.VMEM((9, TH, W), jnp.float32),
-            pltpu.SemaphoreType.DMA((9,)),
-        ],
-    )(flags, f, vel, rho, phi)
-    return f_new, rho_new, vel_new
+    )(flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
 
 
-def make_fused_step(cfg, tile_rows: int = 16):
+def make_fused_step(cfg, tile_rows: int = 8, split: bool = True):
     """Fused-step function with the same (state, fields) API as
     `models.cylinder.make_step`. Assumes obs_vel == 0 and force == 0
     (both hold for the static-cylinder scene)."""
@@ -405,34 +526,36 @@ def make_fused_step(cfg, tile_rows: int = 16):
     assert H % tile_rows == 0, "H must be divisible by the tile height"
     minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
     minv_t = tuple(tuple(float(x) for x in row) for row in minv_s_m)
+    n, b0, b1 = _band_tiles(cfg, tile_rows)
+    use_split = split and b0 >= 1 and b1 <= n - 2 and (n - ((b1 - b0 + 1) + 2)) > 0
 
     def step(state, fields):
-        f, rho_new, vel_new = _fused_step(
-            state["f"],
-            state["rho"],
-            state["vel"],
-            fields["flags"],
-            fields["phi_obs"],
-            H,
-            W,
-            tile_rows,
-            float(cfg.tau),
-            float(cfg.density),
-            0.0,
-            float(cfg.Vmax),
-            minv_t,
-            False,
+        args = (
+            state["f"], state["rho"], state["vel"],
+            fields["flags"], fields["phi_obs"],
+            H, W, tile_rows, float(cfg.tau),
+            float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
         )
+        if use_split:
+            f, rho_new, vel_new = _fused_step_split(*args, b0, b1)
+        else:
+            f, rho_new, vel_new = _fused_step_generic(*args)
         return {"f": f, "rho": rho_new, "vel": vel_new}
 
     return step
 
 
-def make_fused_cylinder_runner(cfg, tile_rows: int = 16):
-    step = make_fused_step(cfg, tile_rows)
+def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True):
+    """Runner advancing n steps by dispatching the jitted step per
+    iteration. (Wrapping the two pallas calls in lax.fori_loop was
+    measured ~5x slower: the while-loop carry forces XLA to copy the
+    state buffers every iteration; per-step dispatch overhead is tiny by
+    comparison at 2048^2.)"""
+    step = make_fused_step(cfg, tile_rows, split=split)
 
-    @partial(jax.jit, static_argnames=("n",))
     def run(state, fields, n: int):
-        return jax.lax.fori_loop(0, n, lambda _, s: step(s, fields), state)
+        for _ in range(n):
+            state = step(state, fields)
+        return state
 
     return run

@@ -9,13 +9,13 @@ from jrl_lbm_tpu.models import cylinder as cyl
 from jrl_lbm_tpu.utils.types import CellType
 
 
-def _compare(cfg, n_steps, tile_rows):
+def _compare(cfg, n_steps, tile_rows, split):
     from jrl_lbm_tpu.ops.pallas import fused_step as fs
 
     state, fields = cyl.init(cfg)
     ref = cyl.make_runner(cfg)(state, fields, n_steps)
 
-    step = fs.make_fused_step(cfg, tile_rows=tile_rows)
+    step = fs.make_fused_step(cfg, tile_rows=tile_rows, split=split)
     out = dict(state)
     for _ in range(n_steps):
         out = step(out, fields)
@@ -30,10 +30,21 @@ def _compare(cfg, n_steps, tile_rows):
 
 
 @pytest.mark.parametrize("tile_rows", [8, 16])
-def test_fused_matches_unfused_interpret(tile_rows):
-    """Run the Pallas kernel in interpreter mode and compare 5 steps."""
+def test_fused_generic_matches_unfused_interpret(tile_rows):
     from jax.experimental.pallas import tpu as pltpu
 
-    cfg = cyl.CylinderConfig(res=(64, 32), D=8.0, Re=500.0)
+    cfg = cyl.CylinderConfig(res=(64, 32), D=8.0, Re=500.0, cylinder_center=(16.0, 32.0))
     with pltpu.force_tpu_interpret_mode():
-        _compare(cfg, n_steps=5, tile_rows=tile_rows)
+        _compare(cfg, n_steps=5, tile_rows=tile_rows, split=False)
+
+
+def test_fused_split_matches_unfused_interpret():
+    """Interior/band two-call specialization must agree with the jnp step."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    cfg = cyl.CylinderConfig(res=(96, 32), D=8.0, Re=500.0, cylinder_center=(16.0, 48.0))
+    n, b0, b1 = fs._band_tiles(cfg, 8)
+    assert 1 <= b0 and b1 <= n - 2, "test geometry must exercise the split"
+    with pltpu.force_tpu_interpret_mode():
+        _compare(cfg, n_steps=5, tile_rows=8, split=True)
