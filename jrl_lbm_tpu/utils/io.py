@@ -45,7 +45,7 @@ def save_img(tensor_input, filename: str):
     """Normalized, y-flipped PNG; port of `io.py:23-29`."""
     import cv2
 
-    np_img = tensor2numpy_2d_(tensor_input)
+    np_img = tensor2numpy_2d_(tensor_input).astype(np.uint8)
     cv2.imwrite(filename, cv2.flip(np_img, 0))
 
 
