@@ -59,8 +59,10 @@ def mkdir(path: str):
 # ---------------------------------------------------------------------------
 
 def _stagger_to_center(np_u, np_v, ref_shape):
-    np_u = np.asarray(np_u, dtype=np.float64)
-    np_v = np.asarray(np_v, dtype=np.float64)
+    # keep float32: the writers format values as numpy scalars, and the
+    # reference's tensors are f32 (a float64 cast would change the text)
+    np_u = np.asarray(np_u, dtype=np.float32)
+    np_v = np.asarray(np_v, dtype=np.float32)
     if np_u.shape[-1] == ref_shape[-1] + 1:
         np_u = 0.5 * (np_u[..., 1:] + np_u[..., :-1])
     if np_v.shape[-2] == ref_shape[-2] + 1:
@@ -70,14 +72,18 @@ def _stagger_to_center(np_u, np_v, ref_shape):
 
 def dump_2d_plt_file_single(filename, np_density, np_u, np_v, B=0, C=0):
     """Port of `io.py:336-352` ('X Y RHO U V' zone)."""
-    rho = _np2d(np_density, B, C)
+    rho = _np2d(np_density, B, C).astype(np.float32)
     H, W = rho.shape
-    u = np.asarray(np_u, dtype=np.float64)
-    v = np.asarray(np_v, dtype=np.float64)
+    u = np.asarray(np_u, dtype=np.float32)
+    v = np.asarray(np_v, dtype=np.float32)
     u = 0.5 * (u[..., 1:] + u[..., :-1])
     v = 0.5 * (v[..., 1:, :] + v[..., :-1, :])
     u = _np2d(u, B, C)
     v = _np2d(v, B, C)
+    from jrl_lbm_tpu.utils import native_io
+
+    if native_io.write_single(str(filename), rho, u, v):
+        return
     with open(filename, "w") as fo:
         fo.write('TITLE ="Magnetic internal force"\n')
         fo.write('VARIABLES = "X" "Y" "RHO" "U" "V" \n')
@@ -92,12 +98,16 @@ def dump_2d_plt_file_single(filename, np_density, np_u, np_v, B=0, C=0):
 
 def dump_2d_plt_file_C_rho(filename, np_C, np_density, np_u, np_v, B=0, C=0):
     """Port of `io.py:308-333` ('X Y C RHO U V NormX NormY' zone)."""
-    c_f = _np2d(np_C, B, C)
-    rho = _np2d(np_density, B, C)
+    c_f = _np2d(np_C, B, C).astype(np.float32)
+    rho = _np2d(np_density, B, C).astype(np.float32)
     H, W = rho.shape
     u, v = _stagger_to_center(np_u, np_v, rho.shape)
     u = _np2d(u, B, C)
     v = _np2d(v, B, C)
+    from jrl_lbm_tpu.utils import native_io
+
+    if native_io.write_c_rho(str(filename), c_f, rho, u, v):
+        return
     with open(filename, "w") as fo:
         fo.write('TITLE ="Magnetic internal force"\n')
         fo.write('VARIABLES = "X" "Y" "C" "RHO" "U" "V" "NormX" "NormY"\n')
@@ -116,6 +126,11 @@ def dump_2d_plt_file_C_rho(filename, np_C, np_density, np_u, np_v, B=0, C=0):
 def read_2d_plt_file_C_rho(filename):
     """Port of `io.py:281-305`; returns [np_C, np_density, np_u, np_v]
     with the reference's [1,1,H,W] shape."""
+    from jrl_lbm_tpu.utils import native_io
+
+    native = native_io.read_c_rho(str(filename))
+    if native is not None:
+        return native
     with open(filename) as fo:
         fo.readline()
         fo.readline()
