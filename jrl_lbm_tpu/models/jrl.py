@@ -500,21 +500,32 @@ def make_balance_step(cfg: JRLCConfig, flags):
     return step
 
 
-def make_approach_step(cfg: JRLCConfig):
+def make_approach_step(cfg: JRLCConfig, parametrized: bool = False):
     """Approach-phase step over (state, fields, step_idx).
 
     ``fields`` must contain ``vel_field`` [N, 2, H, W] (the normalized
     fluid history from the fluid phase). Returns the new state plus the
     per-step inflow/current integrals (`C_ethaline:294-385`).
+
+    With ``parametrized=True``, ``fields`` must additionally carry traced
+    scalars ``vel_obs_conv`` and ``tau_D`` which override the config
+    values — this is what lets the Pe-sweep layer vmap one compiled step
+    over many Pe lanes (each Pe only changes these two scalars plus the
+    trip count; `C_ethaline:96-103`).
     """
     H, W = cfg.eff_res
     dtype = cfg.dtype
     ax = int(AxiSymmetricType.LINE_X_EQ_0)
-    v = cfg.vel_obs_conv
     rint = cfg.radius_obs_int
     x_interval = 0.1
 
     def step(state, fields, step_idx):
+        if parametrized:
+            v = fields["vel_obs_conv"]
+            tau_D = fields["tau_D"]
+        else:
+            v = cfg.vel_obs_conv
+            tau_D = cfg.tau_D
         C, h = state["C"], state["h"]
         mesh = fields["mesh"]
         walks = cfg.inflow_height + step_idx.astype(dtype) * v
@@ -554,7 +565,7 @@ def make_approach_step(cfg: JRLCConfig):
         if cfg.clamp_C:
             C = jnp.clip(C, 0.0, 1.0)
         h = _collide.bgk_collide(
-            h, C, C_vel, flags, tau=cfg.tau_D, mesh_grid=mesh,
+            h, C, C_vel, flags, tau=tau_D, mesh_grid=mesh,
             is_convection=True, axisymmetric_type=ax,
         )
 

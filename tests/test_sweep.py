@@ -1,0 +1,88 @@
+"""Vmapped Pe sweep vs serial per-Pe runs: record-row parity."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from jrl_lbm_tpu.models import jrl
+from jrl_lbm_tpu.parallel import sweep
+
+
+def _setup():
+    Re = 4.0
+    visc_real = 0.89e-6
+    vel_obs_real = Re * visc_real / 1.25e-5
+    fcfg = jrl.JRLFluidConfig(
+        res=(48, 32), Re=Re, vel_obs_real=vel_obs_real,
+        gravity_strength_real=0.0, shape="cylinder",
+    )
+    snapshots, _ = jrl.run_fluid_phase(fcfg)
+    ccfg = jrl.JRLCConfig(
+        res=(48, 32), balance_time=0.5, Re=Re, Pe=1.0,
+        vel_obs_real=vel_obs_real, gravity_strength_real=0.0,
+        shape="cylinder", is_negative=True,
+    )
+    state, fields, flags = jrl.c_init(ccfg)
+    run_bal = jrl.make_balance_runner(ccfg, flags)
+    state = run_bal(state, fields, 100)
+    fields = dict(fields)
+    fields["vel_field"] = jnp.asarray(snapshots)
+    return ccfg, state, fields
+
+
+def _serial_records(cfg, state, fields):
+    run = jrl.make_approach_runner(cfg)
+    dumps = jrl.c_dump_steps(cfg)
+    rows = []
+    cur = 0
+    st = dict(state)
+    for s in dumps:
+        st, acc = run(st, fields, jnp.asarray(cur, jnp.int32), s + 1 - cur)
+        cur = s + 1
+        cnt = max(float(acc["count"]), 1.0)
+        rows.append(
+            [
+                (s + 1) * cfg.dt_conv_real * cfg.vel_obs_real * 1e6,
+                float(acc["inflow_sum"]) / cnt,
+                float(acc["current_sum"]) / cnt,
+                float(acc["rec_u"]),
+                float(acc["rec_v"]),
+            ]
+        )
+    return np.asarray(rows, np.float32)
+
+
+def test_pe_sweep_matches_serial():
+    ccfg, state, fields = _setup()
+    Pes = [2.0, 5.0]
+
+    # lanes share the initial state
+    states = {
+        "C": jnp.stack([state["C"]] * len(Pes)),
+        "h": jnp.stack([state["h"]] * len(Pes)),
+    }
+    result = sweep.pe_sweep_approach(ccfg, Pes, states, fields, chunk=64)
+
+    for k, Pe in enumerate(Pes):
+        cfg_k = dataclasses.replace(ccfg, Pe=Pe)
+        serial = _serial_records(cfg_k, state, fields)
+        nd = int(result.n_dumps[k])
+        assert nd == len(serial), (nd, len(serial))
+        got = result.records[k, :nd]
+        np.testing.assert_allclose(got, serial, rtol=2e-4, atol=2e-4)
+
+
+def test_write_sweep_records(tmp_path):
+    ccfg, state, fields = _setup()
+    Pes = [5.0]
+    states = {
+        "C": jnp.stack([state["C"]]),
+        "h": jnp.stack([state["h"]]),
+    }
+    result = sweep.pe_sweep_approach(ccfg, Pes, states, fields, chunk=64)
+    paths = sweep.write_sweep_records(result, ccfg, str(tmp_path), Re=4.0)
+    assert len(paths) == 1
+    lines = open(paths[0]).read().splitlines()
+    assert lines[0] == "Step Inflow Current u, v"
+    assert len(lines) == int(result.n_dumps[0]) + 1
