@@ -122,12 +122,21 @@ class JRLFluidConfig:
 
 
 def _tip_phi(cfg, mesh, walks):
-    """Tip SDF as a function of the walk position (lattice units)."""
+    """Tip SDF as a function of the walk position (lattice units).
+
+    The global domain height is passed explicitly so this stays correct
+    when ``mesh`` is a shard-local block under shard_map.
+    """
     box_center_x = cfg.Rg_radius - cfg.box_radius
     box_center_y = walks - cfg.box_radius
+    res_y = cfg.eff_res[0]
     if cfg.shape in FLAT_SHAPES:
-        return _sdf.jrl_tip_flat(mesh, (box_center_x, box_center_y), cfg.box_radius)
-    return _sdf.jrl_tip_45degree(mesh, (box_center_x, box_center_y), cfg.box_radius)
+        return _sdf.jrl_tip_flat(
+            mesh, (box_center_x, box_center_y), cfg.box_radius, res_y=res_y
+        )
+    return _sdf.jrl_tip_45degree(
+        mesh, (box_center_x, box_center_y), cfg.box_radius, res_y=res_y
+    )
 
 
 def fluid_base_flags(cfg: JRLFluidConfig) -> jnp.ndarray:
@@ -430,9 +439,14 @@ def c_base_flags(cfg: JRLCConfig) -> jnp.ndarray:
 
 def _c_tip_phi(cfg: JRLCConfig, mesh, walks):
     box_center = (cfg.Rg_radius - cfg.box_radius, walks - cfg.box_radius)
+    res_y = cfg.eff_res[0]
     if cfg.shape in FLAT_SHAPES:
-        return _sdf.jrl_tip_flat_forC(mesh, box_center, cfg.box_radius, cfg.is_negative)
-    return _sdf.jrl_tip_45degree_forC(mesh, box_center, cfg.box_radius, cfg.is_negative)
+        return _sdf.jrl_tip_flat_forC(
+            mesh, box_center, cfg.box_radius, cfg.is_negative, res_y=res_y
+        )
+    return _sdf.jrl_tip_45degree_forC(
+        mesh, box_center, cfg.box_radius, cfg.is_negative, res_y=res_y
+    )
 
 
 def _c_flags_at(cfg: JRLCConfig, base_flags, mesh, walks, walks_int, strict: bool):

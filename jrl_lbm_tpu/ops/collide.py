@@ -43,12 +43,16 @@ def axisymmetric_source(
     is_convection: bool = False,
     dx: float = 1.0,
     dt: float = 1.0,
+    grad_fn=None,
+    div_fn=None,
 ):
     """Gi source term ``[Q, H, W]`` (or scalar 0 when not axisymmetric).
 
     Port of `LBM_collision_2d.py:343-471` (live branches only).
     ``mesh_grid`` is ``[2, H, W]`` cell-centre coordinates (x, y), already
-    offset by +0.5*dx as the demos do.
+    offset by +0.5*dx as the demos do. ``grad_fn``/``div_fn`` override the
+    stencils (the shard_map path injects halo-aware variants; default is
+    the single-device obstacle-aware stencil).
     """
     c = dx / dt
     cs2 = c * c / 3.0
@@ -56,6 +60,10 @@ def axisymmetric_source(
     e = jnp.asarray(lattice.E, dtype=dtype)  # [Q, 2]
     w = jnp.asarray(lattice.W, dtype=dtype)  # [Q]
     ax = int(axisymmetric_type)
+    if grad_fn is None:
+        grad_fn = lambda a: get_grad(a, flags, dx=dx, axisymmetric_type=ax)
+    if div_fn is None:
+        div_fn = lambda a: get_div(a, flags, dx=dx, axisymmetric_type=ax)
 
     if ax == int(AxiSymmetricType.LINE_X_EQ_0):
         r = mesh_grid[0]  # [H, W]; x plays the radial coordinate
@@ -72,16 +80,16 @@ def axisymmetric_source(
         visc = cs2 * (tau - 0.5)
         mu = visc * rho
         pressure = rho * cs2
-        grad_u = get_grad(vel[0], flags, dx=dx, axisymmetric_type=ax)  # [2,H,W]
-        grad_v = get_grad(vel[1], flags, dx=dx, axisymmetric_type=ax)
+        grad_u = grad_fn(vel[0])  # [2,H,W]
+        grad_v = grad_fn(vel[1])
 
-        A2 = get_grad(pressure, flags, dx=dx, axisymmetric_type=ax)[0]
-        A2 = A2 + get_div(rho[None] * ur[None] * vel, flags, dx=dx, axisymmetric_type=ax)
+        A2 = grad_fn(pressure)[0]
+        A2 = A2 + div_fn(rho[None] * ur[None] * vel)
         A2 = A2 * (dt / (2.0 * r))
 
         F2 = (mu / r)[None] * jnp.stack([grad_u[0] - ur / r, grad_v[0]], axis=0)
         F2 = F2 + vel * A1[None]
-        F2 = F2 - dt * (tau - 1.0) * cs2 * get_grad(A1, flags, dx=dx, axisymmetric_type=ax)
+        F2 = F2 - dt * (tau - 1.0) * cs2 * grad_fn(A1)
         # (F2 . e_q) per direction
         F2e = (
             e[:, 0][:, None, None] * F2[0][None]
@@ -101,8 +109,8 @@ def axisymmetric_source(
         else:
             visc = cs2 * (tau - 0.5)
             mu = visc * rho
-            grad_u = get_grad(vel[0], flags, dx=dx, axisymmetric_type=ax)
-            grad_v = get_grad(vel[1], flags, dx=dx, axisymmetric_type=ax)
+            grad_u = grad_fn(vel[0])
+            grad_v = grad_fn(vel[1])
             H1 = (
                 mu * (grad_u[1] + grad_v[0]) / r
                 - rho * vel[0] * vel[1] / r
@@ -136,6 +144,8 @@ def bgk_collide(
     axisymmetric_type: int = 0,
     dx: float = 1.0,
     dt: float = 1.0,
+    grad_fn=None,
+    div_fn=None,
 ) -> jnp.ndarray:
     """BGK relaxation f + w (feq - f) + dt Gi, OBSTACLE passthrough.
 
@@ -163,6 +173,7 @@ def bgk_collide(
     Gi = axisymmetric_source(
         rho, vel, flags, feq_, mesh_grid, tau, ax,
         is_convection=is_convection, dx=dx, dt=dt,
+        grad_fn=grad_fn, div_fn=div_fn,
     )
 
     collided = f + w_rate * (feq_ - f) + dt * Gi

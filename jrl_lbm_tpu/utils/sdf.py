@@ -36,12 +36,17 @@ def cylinder_phi(mesh_grid: jnp.ndarray, center, radius: float) -> jnp.ndarray:
     return jnp.where(d2 > 0, jnp.sqrt(jnp.abs(d2)), -jnp.sqrt(jnp.abs(d2)))
 
 
-def jrl_tip_flat(mesh_grid: jnp.ndarray, box_center, box_radius: float) -> jnp.ndarray:
+def jrl_tip_flat(
+    mesh_grid: jnp.ndarray, box_center, box_radius: float, res_y: int | None = None
+) -> jnp.ndarray:
     """Flat (0-degree) tip: box-corner max SDF plus the top wall.
 
-    Port of `demo_2d_LBM_JRL_fluid_cylinder.py:39-48`.
+    Port of `demo_2d_LBM_JRL_fluid_cylinder.py:39-48`. ``res_y`` is the
+    GLOBAL domain height; it defaults to the mesh shape but must be
+    passed explicitly under shard_map (where the local block is smaller).
     """
-    res_y = mesh_grid.shape[-2]
+    if res_y is None:
+        res_y = mesh_grid.shape[-2]
     tx = (mesh_grid[0] - box_center[0]) - box_radius
     ty = (mesh_grid[1] - box_center[1]) - box_radius
     phi = jnp.maximum(tx, ty)
@@ -50,10 +55,12 @@ def jrl_tip_flat(mesh_grid: jnp.ndarray, box_center, box_radius: float) -> jnp.n
 
 
 def jrl_tip_45degree(
-    mesh_grid: jnp.ndarray, box_center, box_radius: float, with_top: bool = True
+    mesh_grid: jnp.ndarray, box_center, box_radius: float, with_top: bool = True,
+    res_y: int | None = None,
 ) -> jnp.ndarray:
     """45-degree wedge tip (`demo_2d_LBM_JRL_fluid_45degree.py:33-45`)."""
-    res_y = mesh_grid.shape[-2]
+    if res_y is None:
+        res_y = mesh_grid.shape[-2]
     x = mesh_grid[0]
     y = mesh_grid[1]
     phi = (y - box_center[1]) - box_radius
@@ -67,10 +74,12 @@ def jrl_tip_45degree(
 
 
 def jrl_tip_flat_forC(
-    mesh_grid: jnp.ndarray, box_center, box_radius: float, is_negative: bool
+    mesh_grid: jnp.ndarray, box_center, box_radius: float, is_negative: bool,
+    res_y: int | None = None,
 ) -> jnp.ndarray:
     """Flat tip for the concentration phase (`demo_2d_LBM_JRL_C_cylinder.py:31-41`)."""
-    res_y = mesh_grid.shape[-2]
+    if res_y is None:
+        res_y = mesh_grid.shape[-2]
     tx = (mesh_grid[0] - box_center[0]) - box_radius
     ty = (mesh_grid[1] - box_center[1]) - box_radius
     phi = jnp.maximum(tx, ty)
@@ -80,10 +89,12 @@ def jrl_tip_flat_forC(
 
 
 def jrl_tip_45degree_forC(
-    mesh_grid: jnp.ndarray, box_center, box_radius: float, is_negative: bool
+    mesh_grid: jnp.ndarray, box_center, box_radius: float, is_negative: bool,
+    res_y: int | None = None,
 ) -> jnp.ndarray:
     """45-degree tip for the C phase (`demo_2d_LBM_JRL_C_ethaline.py:31-49`)."""
-    res_y = mesh_grid.shape[-2]
+    if res_y is None:
+        res_y = mesh_grid.shape[-2]
     x = mesh_grid[0]
     y = mesh_grid[1]
     phi = (y - box_center[1]) - box_radius

@@ -106,3 +106,35 @@ def test_sharded_step_is_actually_sharded():
     # output stays sharded over the mesh
     shard_shapes = {s.data.shape for s in out["f"].addressable_shards}
     assert shard_shapes == {(9, 24, 8)}
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_sharded_jrl_fluid_matches_unsharded(mesh_shape):
+    """Sharded axisymmetric moving-tip step == single-device step."""
+    from jrl_lbm_tpu.models import jrl
+    from jrl_lbm_tpu.parallel.sharded import (
+        make_sharded_jrl_fluid_runner,
+        shard_jrl_state,
+    )
+
+    Re = 4.0
+    vel_obs_real = Re * 0.89e-6 / 1.25e-5
+    cfg = jrl.JRLFluidConfig(
+        res=(48, 32), Re=Re, vel_obs_real=vel_obs_real,
+        gravity_strength_real=0.0, shape="cylinder",
+    )
+    state, fields = jrl.fluid_init(cfg)
+    run_ref = jrl.make_fluid_runner(cfg)
+    ref = run_ref(state, fields, jnp.asarray(0, jnp.int32), 25)
+
+    mesh = make_mesh(mesh_shape)
+    sstate, sfields = shard_jrl_state(state, fields, mesh)
+    run_sh = make_sharded_jrl_fluid_runner(cfg, mesh)
+    out = run_sh(sstate, sfields, jnp.asarray(0, jnp.int32), 25)
+
+    np.testing.assert_allclose(
+        np.asarray(out["f"]), np.asarray(ref["f"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["vel"]), np.asarray(ref["vel"]), rtol=1e-4, atol=1e-6
+    )
