@@ -1,0 +1,46 @@
+"""Cylinder drag validation: steady Re=40 Cd against literature.
+
+The reference publishes no force diagnostics; this validates the
+momentum-exchange drag of the cylinder scene against the well-known
+steady-flow value Cd(Re=40) ~ 1.5 (Tritton 1959: ~1.48; numerical
+references 1.5-1.7 at ~10% blockage, which inflates Cd).
+"""
+
+import numpy as np
+import pytest
+
+from jrl_lbm_tpu.models import cylinder as cyl
+
+
+@pytest.mark.slow
+def test_cylinder_drag_re40():
+    # 10% blockage; D resolved by 16 cells. Note the scene's Re is
+    # defined on max(res) (reference convention, `demo_2d_LBM_cylinder
+    # .py:58-60`); Re=1200 on a 480-long domain gives cylinder-Re
+    # = Vmax*D/nu = 40.
+    cfg = cyl.CylinderConfig(
+        res=(480, 160), Re=1200.0, Vmax=0.08, D=16.0,
+        cylinder_center=(80.0, 120.0),
+    )
+    # tau from the scene formula uses max(res); recompute the actual
+    # viscosity the scene runs at and the matching U for Cd:
+    nu = (cfg.tau - 0.5) / 3.0
+    re_actual = cfg.Vmax * cfg.D / nu
+    state, fields = cyl.init(cfg)
+    run = cyl.make_runner(cfg)
+
+    state = run(state, fields, 6000)
+    fx, fy = cyl.drag_lift(state, fields, cfg)
+    cd_1 = float(fy) / (0.5 * cfg.density * cfg.Vmax**2 * cfg.D)
+    state = run(state, fields, 2000)
+    fx, fy = cyl.drag_lift(state, fields, cfg)
+    cd_2 = float(fy) / (0.5 * cfg.density * cfg.Vmax**2 * cfg.D)
+
+    # steady: drag settled
+    assert abs(cd_2 - cd_1) / abs(cd_2) < 0.05, (cd_1, cd_2)
+    # literature range for Re ~ cfg-dependent 20-60 with ~10% blockage
+    assert 10 < re_actual < 80, re_actual
+    assert 1.1 < cd_2 < 2.5, (cd_2, re_actual)
+    # steady symmetric flow: lift ~ 0
+    cl = float(fx) / (0.5 * cfg.density * cfg.Vmax**2 * cfg.D)
+    assert abs(cl) < 0.2 * cd_2, cl
