@@ -50,3 +50,44 @@ def feq(
     out = rho_w * (1.0 + eu / cs2)
     out = out + rho_w * (0.5 * eu * eu / (cs2 * cs2) - 0.5 * uv[None] / cs2)
     return out.astype(dtype)
+
+
+def geq(
+    rho: jnp.ndarray,
+    density: jnp.ndarray,
+    vel: jnp.ndarray,
+    pressure: jnp.ndarray,
+    force: jnp.ndarray | None = None,
+    feq_: jnp.ndarray | None = None,
+    dx: float = 1.0,
+    dt: float = 1.0,
+) -> jnp.ndarray:
+    """Multiphase pressure-equilibrium g^eq.
+
+    Port of `LBM_collision_2d.py:288-306` (exported by the reference but
+    unused by its demos; provided for API completeness):
+    geq = w (p - cs^2 density) + cs^2 density / rho * feq.
+    """
+    from jrl_lbm_tpu import lattice
+
+    c = dx / dt
+    cs2 = c * c / 3.0
+    if feq_ is None:
+        feq_ = feq(rho, vel, dx=dx, dt=dt, force=force)
+    w = jnp.asarray(lattice.W, dtype=rho.dtype)[:, None, None]
+    return w * (pressure - cs2 * density)[None] + (cs2 * density / rho)[None] * feq_
+
+
+def equation_of_states(rho: jnp.ndarray, dx: float = 1.0, dt: float = 1.0) -> jnp.ndarray:
+    """Carnahan-Starling-style EOS (`LBM_collision_2d.py:217-234`)."""
+    c = dx / dt
+    cs2 = c * c / 3.0
+    RT = cs2
+    a = 12.0 * RT
+    b = 4.0
+    tr = b * rho / 4.0
+    return (
+        rho * RT * (4.0 * tr - 2.0 * tr * tr) / jnp.power(1.0 - tr, 3)
+        + rho * RT
+        - a * rho * rho
+    )

@@ -67,3 +67,43 @@ def create_droplet_2d(
     center = jnp.asarray(droplet_center, dtype=rho.dtype)[:, None, None]
     dist = jnp.linalg.norm(mg - center, axis=0)
     return jnp.where(dist < droplet_radius, rho_liquid, rho)
+
+
+def get_staggered_z(a: jnp.ndarray) -> jnp.ndarray:
+    """Centre -> z-face resampling for 3D fields; port of `grid.py:41-49`."""
+    mid = 0.5 * (a[..., 1:, :, :] + a[..., :-1, :, :])
+    return _pad_replicate(mid, axis=-3)
+
+
+def dot(dim: int, x: jnp.ndarray, y: jnp.ndarray, keep_dim: bool = False):
+    """Channel dot product of two [.., dim, *res] fields.
+
+    Port of `grid.py:126-231` for the same-shape case (the e-times-field
+    case is :func:`dot_e_vel`).
+    """
+    axis = -(dim + 1)
+    out = jnp.sum(x * y, axis=axis)
+    if keep_dim:
+        out = jnp.expand_dims(out, axis)
+    return out
+
+
+def dot_e_vel(e: jnp.ndarray, vel: jnp.ndarray) -> jnp.ndarray:
+    """(e_q . u) per direction: e [Q, dim], vel [dim, *res] -> [Q, *res].
+
+    Port of `grid.py:234-245` in the framework's batch-free layout.
+    """
+    dim = vel.shape[0]
+    out = e[:, 0].reshape(-1, *([1] * (vel.ndim - 1))) * vel[0][None]
+    for d in range(1, dim):
+        out = out + e[:, d].reshape(-1, *([1] * (vel.ndim - 1))) * vel[d][None]
+    return out
+
+
+def dot_vel_vel(vel1: jnp.ndarray, vel2: jnp.ndarray, keep_dim: bool = False):
+    """u . v over the leading channel axis; port of `grid.py:248-267`
+    (without replicating its broken 3D indexing, SURVEY quirk §5.6)."""
+    out = jnp.sum(vel1 * vel2, axis=0)
+    if keep_dim:
+        out = out[None]
+    return out

@@ -321,3 +321,65 @@ def export_cylinder(save_path: str, floor_center, ceil_center, radius: float):
             faces.append([i * n_circle + j, i * n_circle + jp, (i + 1) * n_circle + j])
             faces.append([i * n_circle + jp, (i + 1) * n_circle + jp, (i + 1) * n_circle + j])
     export_asset(save_path, verts, np.asarray(faces, np.int64))
+
+
+def export_box(save_path: str, res, width: float = 0.01):
+    """Wireframe box mesh (12 edge beams) OBJ; port of `io.py:97-199`."""
+    dtype = np.float64
+    res = list(res)
+    aabb = np.array([[0, 0, 0], [res[0], res[1], res[2]]], dtype=dtype)
+    aabb = (aabb - np.array([res], dtype=dtype) / 2.0) * (2.0 / max(res))
+
+    corners = {}
+    for ix, xl in enumerate("xX"):
+        for iy, yl in enumerate("yY"):
+            for iz, zl in enumerate("zZ"):
+                corners[xl + yl + zl] = np.array(
+                    [aabb[ix, 0], aabb[iy, 1], aabb[iz, 2]], dtype=dtype
+                )
+
+    def add_box(p0, p1, verts, faces):
+        eps = 0.01
+        d = np.linalg.norm(p1 - p0)
+        n = (p1 - p0) / d
+        if n.sum() < 0.0:
+            p0, p1 = p1, p0
+            n = -n
+        if abs(n[0]) >= eps:
+            t, b = np.array([0.0, 1.0, 0.0]), np.array([0.0, 0.0, 1.0])
+        elif abs(n[1]) >= eps:
+            t, b = np.array([0.0, 0.0, 1.0]), np.array([1.0, 0.0, 0.0])
+        else:
+            t, b = np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0])
+        p0 = p0 - width * t - width * b
+        p1 = p1 + width * t + width * b
+        x_, y_, z_ = p0
+        X_, Y_, Z_ = p1
+        nv = np.array(
+            [
+                [x_, y_, z_], [X_, y_, z_], [X_, Y_, z_], [x_, Y_, z_],
+                [x_, y_, Z_], [X_, y_, Z_], [X_, Y_, Z_], [x_, Y_, Z_],
+            ],
+            dtype=dtype,
+        )
+        nf = np.array(
+            [
+                [0, 2, 1], [0, 3, 2], [4, 5, 6], [4, 6, 7],
+                [0, 1, 5], [0, 5, 4], [1, 2, 6], [1, 6, 5],
+                [2, 3, 7], [2, 7, 4], [3, 0, 4], [3, 4, 7],
+            ],
+            dtype=np.int64,
+        )
+        off = verts.shape[0]
+        return np.concatenate([verts, nv]), np.concatenate([faces, nf + off])
+
+    edges = [
+        ("xyz", "Xyz"), ("Xyz", "XYz"), ("xYz", "XYz"), ("xyz", "xYz"),
+        ("xyZ", "XyZ"), ("XyZ", "XYZ"), ("xYZ", "XYZ"), ("xyZ", "xYZ"),
+        ("xyz", "xyZ"), ("Xyz", "XyZ"), ("xYz", "xYZ"), ("XYz", "XYZ"),
+    ]
+    verts = np.zeros((0, 3), dtype)
+    faces = np.zeros((0, 3), np.int64)
+    for a, b in edges:
+        verts, faces = add_box(corners[a], corners[b], verts, faces)
+    export_asset(save_path, verts, faces)

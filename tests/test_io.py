@@ -138,3 +138,55 @@ def test_jrl_demo_pipeline_end_to_end(tmp_path):
     vals = [float(x) for x in lines[2].split(" ")]
     assert len(vals) == 5
     assert np.isfinite(vals).all()
+
+
+def test_export_box(tmp_path):
+    from jrl_lbm_tpu.utils.io import export_box
+
+    fn = str(tmp_path / "box.obj")
+    export_box(fn, [8, 8, 8])
+    content = open(fn).read()
+    # 12 edge beams x 8 vertices each
+    assert content.count("\nv ") + content.startswith("v ") == 96 or \
+        content.count("v ") >= 96
+    assert content.count("f ") == 12 * 12
+
+
+def test_grid_dot_helpers():
+    import numpy as np
+    import jax.numpy as jnp
+    from jrl_lbm_tpu import lattice
+    from jrl_lbm_tpu.utils.grid import dot, dot_e_vel, dot_vel_vel
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(2, 4, 5)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 4, 5)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dot(2, a, b)), np.asarray((a * b).sum(0)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dot_vel_vel(a, b, keep_dim=True)).shape, (1, 4, 5)
+    )
+    e = jnp.asarray(lattice.E, jnp.float32)
+    ev = dot_e_vel(e, a)
+    assert ev.shape == (9, 4, 5)
+    np.testing.assert_allclose(
+        np.asarray(ev[1]), np.asarray(a[0]), rtol=1e-6
+    )  # e_1 = (1, 0)
+
+
+def test_geq_and_eos():
+    import numpy as np
+    import jax.numpy as jnp
+    from jrl_lbm_tpu.ops.equilibrium import equation_of_states, feq, geq
+
+    rng = np.random.default_rng(1)
+    rho = jnp.asarray(rng.uniform(0.1, 0.25, (4, 4)).astype(np.float32))
+    density = rho * 1.1
+    vel = jnp.zeros((2, 4, 4), jnp.float32)
+    p = equation_of_states(density)
+    g = geq(rho, density, vel, p)
+    # zeroth moment identity: sum_q geq = p - cs2 d + cs2 d / rho * rho = p
+    np.testing.assert_allclose(
+        np.asarray(g.sum(0)), np.asarray(p), rtol=1e-4, atol=1e-6
+    )
