@@ -192,6 +192,15 @@ class LBMMacroCompute2d:
     def get_vort(self, vel, dx=1.0):
         return _macro.get_vort(vel, dx=dx)
 
+    # The reference exposes CUDA "twins" of the macro computations
+    # (`LBM_macro_compute_2d.py:297-314`, never called by its demos);
+    # here they are simply the same implementations.
+    def ApplyCompute_C(self, h, C, flags, vel=None, mesh_grid=None, dx=1.0, dt=1.0):
+        return self.macro_compute_C(h, C, flags, vel=vel, mesh_grid=mesh_grid, dx=dx, dt=dt)
+
+    def ApplyCompute_fluid(self, f, rho, vel, flags, dx=1.0, dt=1.0, density=None):
+        return self.macro_compute(f, rho, vel, flags, dx=dx, dt=dt, density=density)
+
     def get_pressure(self, density, dx=1.0, dt=1.0):
         return _macro.get_pressure(density, dx=dx, dt=dt)
 
@@ -232,6 +241,16 @@ class LBMCollision2d:
         from jrl_lbm_tpu.ops.equilibrium import feq
 
         return feq(rho, vel, dx=dx, dt=dt, force=force)
+
+    def get_geq_(self, rho, density, vel, pressure, force=None, feq=None, dx=1.0, dt=1.0):
+        from jrl_lbm_tpu.ops.equilibrium import geq
+
+        return geq(rho, density, vel, pressure, force=force, feq_=feq, dx=dx, dt=dt)
+
+    def equation_of_states(self, rho, dx=1.0, dt=1.0):
+        from jrl_lbm_tpu.ops.equilibrium import equation_of_states
+
+        return equation_of_states(rho, dx=dx, dt=dt)
 
     def get_grad(self, rho, flags, dx=1.0):
         from jrl_lbm_tpu.ops.stencil import get_grad
