@@ -48,3 +48,29 @@ def test_fused_split_matches_unfused_interpret():
     assert 1 <= b0 and b1 <= n - 2, "test geometry must exercise the split"
     with pltpu.force_tpu_interpret_mode():
         _compare(cfg, n_steps=5, tile_rows=8, split=True)
+
+
+@pytest.mark.parametrize("collision", ["bgk", "mrt"])
+def test_fused_periodic_matches_unfused_interpret(collision):
+    """The fully-periodic fused kernel vs the jnp shear-layer step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.models import shear_layer as sl
+    from jrl_lbm_tpu.ops.pallas import fused_periodic as fp
+
+    cfg = sl.ShearLayerConfig(res=(32, 32), Re=1000.0, collision=collision)
+    state, fields = sl.init(cfg)
+    ref = state
+    step_ref = sl.make_step(cfg)
+    with pltpu.force_tpu_interpret_mode():
+        step_f = fp.make_fused_periodic_step(cfg, tile_rows=8)
+        out = dict(state)
+        for _ in range(5):
+            ref = step_ref(ref, fields)
+            out = step_f(out, fields)
+    np.testing.assert_allclose(
+        np.asarray(out["f"]), np.asarray(ref["f"]), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["vel"]), np.asarray(ref["vel"]), rtol=1e-4, atol=1e-5
+    )
