@@ -28,7 +28,22 @@ def main(
         contact_angle=0.5 * math.pi,
     )
     state, fields = sl.init(cfg)
-    run = sl.make_runner(cfg)
+    run = None
+    import jax
+
+    if (
+        jax.default_backend() != "cpu"
+        and collision in ("bgk", "mrt")
+        and res[0] % 8 == 0
+    ):
+        try:
+            from jrl_lbm_tpu.ops.pallas import fused_periodic as fp
+
+            run = fp.make_fused_periodic_runner(cfg)
+        except Exception as e:
+            print(f"fused periodic kernel unavailable ({e}); using jnp ops")
+    if run is None:
+        run = sl.make_runner(cfg)
 
     path = demo_path()
     out_dir = f"{path}/demo_data_LBM_2d/"

@@ -60,13 +60,17 @@ def test_fused_periodic_matches_unfused_interpret(collision):
 
     cfg = sl.ShearLayerConfig(res=(32, 32), Re=1000.0, collision=collision)
     state, fields = sl.init(cfg)
-    ref = state
+    # run the reference steps first: interleaving eager jnp ops with
+    # interpret-mode pallas calls deadlocks the interpret runtime's
+    # device-clock machinery
+    ref = dict(state)
     step_ref = sl.make_step(cfg)
+    for _ in range(5):
+        ref = step_ref(ref, fields)
     with pltpu.force_tpu_interpret_mode():
         step_f = fp.make_fused_periodic_step(cfg, tile_rows=8)
         out = dict(state)
         for _ in range(5):
-            ref = step_ref(ref, fields)
             out = step_f(out, fields)
     np.testing.assert_allclose(
         np.asarray(out["f"]), np.asarray(ref["f"]), rtol=2e-5, atol=2e-6
