@@ -59,6 +59,16 @@ def init(cfg: CylinderConfig):
     """Flags/geometry/initial fields; port of `demo_2d_LBM_cylinder.py:109-136`."""
     H, W = cfg.res
     dtype = cfg.dtype
+    cx, cy = cfg.center
+    if not (0 < cx < W and 0 < cy < H):
+        import warnings
+
+        warnings.warn(
+            f"cylinder center {cfg.center} lies outside the {H}x{W} domain "
+            "(the default center is (10D, 10D) as in the reference demo; "
+            "pass cylinder_center= for small grids)",
+            stacklevel=2,
+        )
 
     flags = jnp.full((H, W), int(CellType.OBSTACLE), jnp.int32)
     flags = flags.at[1:-1, 1:-1].set(int(CellType.FLUID))

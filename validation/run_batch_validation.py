@@ -1,0 +1,66 @@
+"""Full batch_validation suite on TPU: 4 shape/gravity configurations.
+
+The reference's validation (`batch_validation.py` + `demo_plot_
+validation.py`) runs the same (Re, Pe) through 45deg+g, 45deg no-g,
+flat+g, and infinite-plane+g; the claim is that the normalized approach
+curves agree. This script runs all four and reports the max pairwise
+deviation of the plateau-normalized curves.
+"""
+
+import json
+import os
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "demo"))
+os.environ.setdefault("JRL_DEMO_OUT", str(ROOT / "validation" / "batch_out"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+
+import numpy as np
+
+
+def main():
+    from batch_validation import main as batch_main
+    from plot_utils import find_record, load_approach_curve
+
+    Re = 3e-4
+    batch_main(fluid="water", is_negative=True, Re=Re)
+
+    visc = 0.89e-6
+    radius = 12.5e-6
+    vel_obs = Re * visc / radius
+    Pe = vel_obs * radius / 7.85e-10
+
+    base = pathlib.Path(os.environ["JRL_DEMO_OUT"])
+    prefixes = ["_45degree_g9", "_45degree_g0", "_cylinder_g9", "_InfinitePlane_g9"]
+    curves = {}
+    for p in prefixes:
+        rec = find_record(str(base / p / "records"), Re, Pe)
+        if rec is None:
+            print(f"missing record for {p}")
+            continue
+        xs, cur = load_approach_curve(rec, is_negative=True)
+        curves[p] = (xs, cur)
+
+    # compare on the common mid-range (skip the very-near-contact cells
+    # where shape genuinely matters at this resolution)
+    names = list(curves)
+    n = min(len(curves[k][1]) for k in names)
+    stack = np.stack([curves[k][1][5 : n - 2] for k in names])
+    spread = float(np.max(np.std(stack, axis=0)))
+    verdict = {
+        "configs": names,
+        "curve_points": int(stack.shape[1]),
+        "max_pointwise_std": round(spread, 4),
+        "pass": bool(len(names) == 4 and spread < 0.15),
+    }
+    print(json.dumps(verdict))
+
+
+if __name__ == "__main__":
+    main()
