@@ -138,3 +138,35 @@ def test_sharded_jrl_fluid_matches_unsharded(mesh_shape):
     np.testing.assert_allclose(
         np.asarray(out["vel"]), np.asarray(ref["vel"]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_pad_halo_corners_and_wrap():
+    """Halo values = global periodic neighbours, including corners."""
+    from jrl_lbm_tpu.parallel.halo import pad_halo
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+    H, W = 8, 16
+    mesh = make_mesh((2, 4))
+    x = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
+    xs = jax.device_put(x, NamedSharding(mesh, P(AXIS_Y, AXIS_X)))
+
+    padded = jax.jit(
+        jax.shard_map(
+            lambda a: pad_halo(a, AXIS_Y, AXIS_X),
+            mesh=mesh,
+            in_specs=P(AXIS_Y, AXIS_X),
+            out_specs=P(AXIS_Y, AXIS_X),
+        )
+    )(xs)
+    # padded is [2*(4+2), 4*(4+2)] = per-shard padded blocks concatenated
+    pb = np.asarray(padded).reshape(2, 6, 4, 6).transpose(0, 2, 1, 3)
+    xn = np.asarray(x)
+    for by in range(2):
+        for bx in range(4):
+            blk = pb[by, bx]  # [6, 6] padded block
+            y0, x0 = by * 4, bx * 4
+            exp = xn[
+                np.arange(y0 - 1, y0 + 5) % H
+            ][:, np.arange(x0 - 1, x0 + 5) % W]
+            np.testing.assert_array_equal(blk, exp)
