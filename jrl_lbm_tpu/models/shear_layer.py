@@ -16,7 +16,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jrl_lbm_tpu.ops import collide as _collide
 from jrl_lbm_tpu.ops import macro as _macro

@@ -13,7 +13,6 @@ import math
 
 import jax.numpy as jnp
 
-from jrl_lbm_tpu import lattice
 from jrl_lbm_tpu.utils.types import CellType
 
 

@@ -13,7 +13,6 @@ the negative neighbour collapses onto the axis line.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from jrl_lbm_tpu.utils.types import AxiSymmetricType, CellType

@@ -19,7 +19,6 @@ Neighbour-rule recap (per the reference CUDA kernels):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from jrl_lbm_tpu import lattice

@@ -17,7 +17,6 @@ tests/test_sweep.py.
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 from typing import List, Sequence
 

@@ -22,13 +22,12 @@ import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from jrl_lbm_tpu.ops import collide as _collide
 from jrl_lbm_tpu.ops import coupling as _coupling
 from jrl_lbm_tpu.ops import macro as _macro
 from jrl_lbm_tpu.ops import stream as _stream
-from jrl_lbm_tpu.utils.types import CellType, KBCType
+from jrl_lbm_tpu.utils.types import KBCType
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,7 +14,6 @@ tests/test_io.py.
 from __future__ import annotations
 
 import os
-from typing import List
 
 import numpy as np
 

@@ -11,7 +11,6 @@ absence so `utils.io` can fall back to the pure-Python writers.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 
