@@ -82,3 +82,34 @@ def test_c_dump_steps_monotone():
     assert all(b > a for a, b in zip(steps, steps[1:]))
     # one dump per lattice unit of travel
     assert len(steps) <= int((48 - 1 - ccfg.inflow_height_int)) + 1
+
+
+def test_balance_phase_reaches_steady_state():
+    """Balance run: C stays in [0,1] and the tip inflow integral
+    converges (the reference logs exactly this to balance.txt as its
+    steady-state criterion, `C_ethaline:199-263`)."""
+    ccfg = jrl.JRLCConfig(
+        res=(48, 32), balance_time=50.0, Re=4.0, Pe=5.0,
+        vel_obs_real=21e-6, shape="cylinder", is_negative=True,
+    )
+    state, fields, flags = jrl.c_init(ccfg)
+    run = jrl.make_balance_runner(ccfg, flags)
+    area = jnp.asarray(ccfg.area_array)
+    wi = ccfg.inflow_height_int
+
+    def inflow(s):
+        row = s["C"][wi, : ccfg.radius_obs_int]
+        return float(jnp.sum(row * area))
+
+    state = run(state, fields, 400)
+    v1 = inflow(state)
+    state = run(state, fields, 400)
+    v2 = inflow(state)
+    state = run(state, fields, 400)
+    v3 = inflow(state)
+    C = np.asarray(state["C"])
+    assert np.isfinite(C).all()
+    assert C.min() >= -1e-4 and C.max() <= 1.0 + 1e-4
+    # converging: successive changes shrink
+    assert abs(v3 - v2) < abs(v2 - v1) + 1e-6
+    assert v3 > 0
