@@ -3,6 +3,8 @@
 import argparse
 import pathlib
 
+from _common import demo_path
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -16,7 +18,7 @@ viscs = {"water": 0.89e-6, "ethaline": 45.23e-3 / 1.11614e3}
 
 def main(fluid: str = "water", is_negative: bool = True):
     posneg_prefix = "" if is_negative else "_positive"
-    path = pathlib.Path(__file__).parent.absolute()
+    path = demo_path()
     prefix = "_45degree_g9" if fluid == "water" else "_ethaline_g9"
     if fluid == "water":
         Res = [1e-2, 7e-3, 5e-3, 3e-3, 1e-3, 7e-4, 5e-4, 3e-4, 1e-4, 7e-5]

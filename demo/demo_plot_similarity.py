@@ -9,6 +9,8 @@ import argparse
 import os
 import pathlib
 
+from _common import demo_path
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -19,7 +21,7 @@ from plot_utils import read_record
 
 
 def main(records=None, labels=None, p0: int = 50, norm_index: int = 10):
-    path = pathlib.Path(__file__).parent.absolute()
+    path = demo_path()
     if records is None:
         records = [
             "_45degree_g9/records_positive/record_res64_Re7e-05_Pe793.txt",

@@ -12,6 +12,8 @@ import argparse
 import os
 import pathlib
 
+from _common import demo_path
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -24,7 +26,7 @@ def main(Re: float = 3e-4, Pe: float = 0.3401,
          experiment_file: str = "100water_normalized_Pe0.3184713376.txt",
          experiment_offset: float = -0.1, is_negative: bool = True):
     posneg_prefix = "" if is_negative else "_positive"
-    path = pathlib.Path(__file__).parent.absolute()
+    path = demo_path()
 
     prefixs = ["_45degree_g9", "_45degree_g0", "_cylinder_g9", "_InfinitePlane_g9"]
     labels = [

@@ -10,6 +10,8 @@ import argparse
 import os
 import pathlib
 
+from _common import demo_path
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -30,7 +32,7 @@ viscs = {
 
 def main(fluid: str = "water", is_negative: bool = True):
     posneg_prefix = "" if is_negative else "_positive"
-    path = pathlib.Path(__file__).parent.absolute()
+    path = demo_path()
     visc = viscs[fluid]
     radius_obs = 12.5e-6
     D = Ds[fluid]
