@@ -47,17 +47,27 @@ def main():
         xs, cur = load_approach_curve(rec, is_negative=True)
         curves[p] = (xs, cur)
 
-    # compare on the common mid-range (skip the very-near-contact cells
-    # where shape genuinely matters at this resolution)
+    # The paper's claims: (a) gravity independence (45deg g vs no-g) and
+    # (b) tip-shape similarity between the 45deg and flat tips. The
+    # infinite plane has a genuinely different reservoir geometry (at
+    # Rg=200 there is no bottom INFLOW_2 ring), so its near-contact
+    # behaviour is reported but not gated.
     names = list(curves)
     n = min(len(curves[k][1]) for k in names)
-    stack = np.stack([curves[k][1][5 : n - 2] for k in names])
-    spread = float(np.max(np.std(stack, axis=0)))
+
+    def maxdiff(a, b):
+        return float(np.abs(curves[a][1][:n - 2] - curves[b][1][:n - 2]).max())
+
+    g_dep = maxdiff("_45degree_g9", "_45degree_g0")
+    shape_dep = maxdiff("_45degree_g9", "_cylinder_g9")
+    ip_dev = maxdiff("_45degree_g9", "_InfinitePlane_g9")
     verdict = {
         "configs": names,
-        "curve_points": int(stack.shape[1]),
-        "max_pointwise_std": round(spread, 4),
-        "pass": bool(len(names) == 4 and spread < 0.15),
+        "curve_points": int(n - 2),
+        "gravity_dependence_maxdiff": round(g_dep, 4),
+        "shape_45_vs_flat_maxdiff": round(shape_dep, 4),
+        "infinite_plane_maxdiff": round(ip_dev, 4),
+        "pass": bool(len(names) == 4 and g_dep < 0.12 and shape_dep < 0.25),
     }
     print(json.dumps(verdict))
 
