@@ -1,0 +1,74 @@
+"""Vortex-shedding validation at the reference demo's own configuration.
+
+Runs `demo_2d_LBM_cylinder.py`'s exact physics (800x400, Re_domain=5000,
+Vmax=0.05, D=20) on the fused TPU path for 50k steps, samples the lift
+force, and extracts the Strouhal number St = f D / U from the dominant
+lift frequency. 2D cylinder shedding at this cylinder Reynolds number
+(Re_D = U D / nu = 5000/40 = 125 on the domain-based viscosity) has
+St ~ 0.18-0.22 (Roshko); blockage ~5% raises it slightly.
+"""
+
+import json
+import pathlib
+import sys
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
+
+import jax.numpy as jnp
+import numpy as np
+
+from jrl_lbm_tpu.models import cylinder as cyl
+from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+
+def main():
+    cfg = cyl.CylinderConfig(res=(800, 400))  # reference defaults
+    nu = (cfg.tau - 0.5) / 3.0
+    re_d = cfg.Vmax * cfg.D / nu
+    print(f"tau={cfg.tau} Re_D={re_d:.0f}", flush=True)
+    state, fields = cyl.init(cfg)
+    run = fs.make_fused_cylinder_runner(cfg)
+
+    warmup, n_samples, every = 20000, 600, 50
+    state = run(state, fields, warmup)
+    lifts = []
+    for k in range(n_samples):
+        state = run(state, fields, every)
+        fx, fy = cyl.drag_lift(state, fields, cfg)
+        lifts.append((float(fx), float(fy)))
+        if k % 100 == 0:
+            print(f"sample {k}: Cl={lifts[-1][0]:.4f} Cd_raw={lifts[-1][1]:.4f}",
+                  flush=True)
+
+    fx = np.asarray([l[0] for l in lifts])
+    fy = np.asarray([l[1] for l in lifts])
+    denom = 0.5 * cfg.density * cfg.Vmax**2 * cfg.D
+    cl = fx / denom
+    cd = fy / denom
+    # dominant lift frequency
+    clz = cl - cl.mean()
+    spec = np.abs(np.fft.rfft(clz * np.hanning(len(clz)))) ** 2
+    freqs = np.fft.rfftfreq(len(clz), d=every)  # cycles per step
+    kmax = int(spec[1:].argmax()) + 1
+    f_shed = float(freqs[kmax])
+    st = f_shed * cfg.D / cfg.Vmax
+    out = {
+        "re_domain": cfg.Re,
+        "re_cylinder": round(re_d, 1),
+        "cd_mean": round(float(cd.mean()), 3),
+        "cl_rms": round(float(np.sqrt((clz**2).mean())), 4),
+        "strouhal": round(st, 4),
+        "shedding": bool(np.sqrt((clz**2).mean()) > 0.01),
+    }
+    print(json.dumps(out))
+    with open(ROOT / "validation" / "results" / "cylinder_shedding.json", "w") as fo:
+        fo.write(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
