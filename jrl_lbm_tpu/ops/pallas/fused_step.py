@@ -284,16 +284,35 @@ def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
 # ---------------------------------------------------------------------------
 # Interior kernel: plain channel tiles (FLUID interior, OBSTACLE wall
 # columns at x=0 and x=W-1, nothing else).
+#
+# Bandwidth structure: a TH-row tile only needs ONE halo row from each
+# y-neighbour, and only for the three populations streaming in that
+# direction (ey=+1 pulls from y-1; ey=-1 from y+1). Fetching whole
+# (9, TH, W) neighbour blocks (the original design) tripled the f read
+# traffic; here the halos are six (1, 8, W) blocks — the minimal
+# 8-row-aligned slice Mosaic can DMA — cutting f reads from 27 to
+# 9 + 48/TH row-planes per tile (TH=32: 1.17x amplification vs 3x).
+#
+# The wall columns' rho/vel are time-invariant under the macro obstacle
+# passthrough (rho stays at its initial value `wall_density`, vel at 0),
+# so the kernel does not read rho/vel at all.
 # ---------------------------------------------------------------------------
 
-def _make_interior_kernel(W, TH, minv_s_m):
+# populations needing a y-halo row: ey=+1 pulls from the row above the
+# tile; ey=-1 from the row below (E rows 2,5,6 / 4,7,8)
+UP_Q = (2, 5, 6)
+DN_Q = (4, 7, 8)
+
+
+def _make_interior_kernel(W, TH, minv_s_m, wall_density):
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
 
     def kernel(
-        f_tp, f_m, f_bt,
-        rho_blk, vel_blk,
+        f_m, up2, up5, up6, dn4, dn7, dn8,
         f_out, rho_out, vel_out,
     ):
+        up = {2: up2, 5: up5, 6: up6}
+        dn = {4: dn4, 7: dn7, 8: dn8}
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
         at_x0 = gx == 0
         at_xW = gx == W - 1
@@ -301,11 +320,14 @@ def _make_interior_kernel(W, TH, minv_s_m):
         nbr_lo = gx == 1  # pull neighbour is the left wall
         nbr_hi = gx == W - 2
 
-        f_pad = [_stitch(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]
-
         def pull(q):
             ex, ey = int(E[q, 0]), int(E[q, 1])
-            rows = f_pad[q][1 - ey : 1 - ey + TH, :]
+            if ey == 1:  # value from row y-1: halo row t0-1 + mid[:-1]
+                rows = jnp.concatenate([up[q][0, -1:, :], f_m[q][:-1, :]], axis=0)
+            elif ey == -1:  # from row y+1: mid[1:] + halo row t0+TH
+                rows = jnp.concatenate([f_m[q][1:, :], dn[q][0, 0:1, :]], axis=0)
+            else:
+                rows = f_m[q]
             if ex == 0:
                 return rows
             base = pltpu.roll(rows, ex % W, axis=1)
@@ -329,12 +351,12 @@ def _make_interior_kernel(W, TH, minv_s_m):
         macro_rho = f_new[0]
         for q in range(1, 9):
             macro_rho = macro_rho + f_new[q]
-        rho_n = jnp.where(is_obs, rho_blk[:], macro_rho)
+        rho_n = jnp.where(is_obs, wall_density, macro_rho)
         mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
         mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
         safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
-        u_x = jnp.where(is_obs, vel_blk[0], mom_x / safe_rho)
-        u_y = jnp.where(is_obs, vel_blk[1], mom_y / safe_rho)
+        u_x = jnp.where(is_obs, 0.0, mom_x / safe_rho)
+        u_y = jnp.where(is_obs, 0.0, mom_y / safe_rho)
 
         _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
         rho_out[:] = rho_n
@@ -348,16 +370,17 @@ def _make_interior_kernel(W, TH, minv_s_m):
 # Assembly
 # ---------------------------------------------------------------------------
 
-def _band_tiles(cfg, TH):
-    """Row-tiles that need the full-boundary kernel: the INFLOW row tile,
-    the OUTFLOW row tile, and the cylinder +-margin."""
+def _band_tiles(cfg, T):
+    """Interior-tile (T-row) indices that need the full-boundary kernel:
+    the INFLOW tile (0), the OUTFLOW tile (n-1), and [b0, b1] covering
+    the cylinder +-margin."""
     H, _ = cfg.res
-    n = H // TH
+    n = H // T
     cy = cfg.center[1]
     r = cfg.D / 2.0
     margin = 4.0
-    b0 = max(0, int((cy - r - margin) // TH))
-    b1 = min(n - 1, int((cy + r + margin) // TH))
+    b0 = max(0, int((cy - r - margin) // T))
+    b1 = min(n - 1, int((cy + r + margin) // T))
     return n, b0, b1
 
 
@@ -396,16 +419,22 @@ def _full_specs(H, W, TH, tile_map):
 @partial(
     jax.jit,
     static_argnames=(
-        "H", "W", "TH", "tau", "inflow_density", "inflow_vx", "inflow_vy",
+        "H", "W", "T", "BT", "tau", "inflow_density", "inflow_vx", "inflow_vy",
         "minv_s_m", "has_inflow2", "b0", "b1",
     ),
 )
-def _fused_step_split(f, rho, vel, flags, phi, H, W, TH, tau,
+def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
                       inflow_density, inflow_vx, inflow_vy, minv_s_m,
                       has_inflow2, b0, b1):
-    n = H // TH
-    n_band = (b1 - b0 + 1) + 2
-    n_int = n - n_band
+    """Two-call split: interior tiles of T rows (lean kernel, minimal
+    halos), band tiles of BT rows (full-boundary kernel) covering
+    interior-tile indices {0, b0..b1, n-1}. T and BT may differ (the
+    interior kernel's traffic scales as 9 + 48/T row-planes, so it wants
+    large tiles; the full kernel's VMEM footprint wants small ones)."""
+    n = H // T
+    T8 = T // 8
+    n_band_tiles = (b1 - b0 + 1) + 2
+    n_int = n - n_band_tiles
     c1 = b0 - 1
     gap = b1 - b0 + 2
 
@@ -413,50 +442,67 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, TH, tau,
         # interior tiles: [1 .. b0-1] then [b1+1 .. n-2]
         return jnp.where(i < c1, i + 1, i + gap)
 
-    def band_map(i):
-        return jnp.where(
-            i == 0, 0, jnp.where(i <= b1 - b0 + 1, b0 + i - 1, n - 1)
-        )
-
     f32 = jnp.float32
 
     # ---- interior call (creates the output buffers) ----
-    def ib2(off):
+    def ib2():
         return pl.BlockSpec(
-            (TH, W), lambda i: (int_map(i) + off, 0), memory_space=pltpu.VMEM
+            (T, W), lambda i: (int_map(i), 0), memory_space=pltpu.VMEM
         )
 
-    def ib3(off, c=9):
+    def ib3(c=9):
         return pl.BlockSpec(
-            (c, TH, W), lambda i: (0, int_map(i) + off, 0), memory_space=pltpu.VMEM
+            (c, T, W), lambda i: (0, int_map(i), 0), memory_space=pltpu.VMEM
         )
 
-    ik = _make_interior_kernel(W, TH, minv_s_m)
+    def halo(q, up):
+        if up:  # 8-row block holding row t0-1 (its last row)
+            im = lambda i, q=q: (q, T8 * int_map(i) - 1, 0)
+        else:  # 8-row block holding row t0+T (its first row)
+            im = lambda i, q=q: (q, T8 * (int_map(i) + 1), 0)
+        return pl.BlockSpec((1, 8, W), im, memory_space=pltpu.VMEM)
+
+    ik = _make_interior_kernel(W, T, minv_s_m, float(inflow_density))
     f1, rho1, vel1 = pl.pallas_call(
         ik,
         grid=(n_int,),
-        in_specs=[ib3(-1), ib3(0), ib3(1), ib2(0), ib3(0, 2)],
-        out_specs=[ib3(0), ib2(0), ib3(0, 2)],
+        in_specs=[ib3()]
+        + [halo(q, up=True) for q in UP_Q]
+        + [halo(q, up=False) for q in DN_Q],
+        out_specs=[ib3(), ib2(), ib3(2)],
         out_shape=[
             jax.ShapeDtypeStruct((9, H, W), f32),
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((2, H, W), f32),
         ],
-    )(f, f, f, rho, vel)
+    )(f, f, f, f, f, f, f)
 
-    # ---- band call: compact outputs (one row-block per band tile),
-    # merged into the interior buffers with in-place row updates. (An
-    # input_output_aliases pass-through was measured to force full-array
-    # copies, tripling the step time.) ----
+    # ---- band call: BT-row tiles over rows [0,T) + [b0*T,(b1+1)*T) +
+    # [H-T,H), compact outputs merged into the interior buffers with
+    # in-place row updates. (An input_output_aliases pass-through was
+    # measured to force full-array copies, tripling the step time.) ----
+    TB = T // BT  # band tiles per interior tile
+    a_ = TB
+    b_ = (b1 - b0 + 1) * TB
+    nH = H // BT
+
+    def band_map(i):
+        return jnp.where(
+            i < a_,
+            i,
+            jnp.where(i < a_ + b_, b0 * TB + (i - a_), nH - TB + (i - a_ - b_)),
+        )
+
+    n_band = 2 * TB + b_
     bk = _make_full_kernel(
-        H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
+        H, W, BT, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
         has_inflow2, band_map,
     )
-    in_specs, _ = _full_specs(H, W, TH, band_map)
+    in_specs, _ = _full_specs(H, W, BT, band_map)
     compact_out = [
-        pl.BlockSpec((9, TH, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((TH, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, TH, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
     ]
     f2c, rho2c, vel2c = pl.pallas_call(
         bk,
@@ -464,24 +510,24 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, TH, tau,
         in_specs=in_specs,
         out_specs=compact_out,
         out_shape=[
-            jax.ShapeDtypeStruct((9, n_band * TH, W), f32),
-            jax.ShapeDtypeStruct((n_band * TH, W), f32),
-            jax.ShapeDtypeStruct((2, n_band * TH, W), f32),
+            jax.ShapeDtypeStruct((9, n_band * BT, W), f32),
+            jax.ShapeDtypeStruct((n_band * BT, W), f32),
+            jax.ShapeDtypeStruct((2, n_band * BT, W), f32),
         ],
     )(flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
 
     # merge: band compact rows are [tile 0 | tiles b0..b1 | tile n-1]
-    nb_mid = b1 - b0 + 1
+    nb_mid = (b1 - b0 + 1) * T
 
     def merge(full, compact):
         full = jax.lax.dynamic_update_slice_in_dim(
-            full, compact[..., 0:TH, :], 0, axis=full.ndim - 2
+            full, compact[..., 0:T, :], 0, axis=full.ndim - 2
         )
         full = jax.lax.dynamic_update_slice_in_dim(
-            full, compact[..., TH : (1 + nb_mid) * TH, :], b0 * TH, axis=full.ndim - 2
+            full, compact[..., T : T + nb_mid, :], b0 * T, axis=full.ndim - 2
         )
         full = jax.lax.dynamic_update_slice_in_dim(
-            full, compact[..., (1 + nb_mid) * TH :, :], H - TH, axis=full.ndim - 2
+            full, compact[..., T + nb_mid :, :], H - T, axis=full.ndim - 2
         )
         return full
 
@@ -518,40 +564,59 @@ def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
     )(flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
 
 
-def make_fused_step(cfg, tile_rows: int = 8, split: bool = True):
+def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
+                    interior_rows: int = 32):
     """Fused-step function with the same (state, fields) API as
-    `models.cylinder.make_step`. Assumes obs_vel == 0 and force == 0
-    (both hold for the static-cylinder scene)."""
+    `models.cylinder.make_step`. Assumes obs_vel == 0, force == 0, and
+    initial wall rho == cfg.density / wall vel == 0 (all hold for the
+    static-cylinder scene; the macro obstacle passthrough keeps the wall
+    values at their initial state forever)."""
     H, W = cfg.res
     assert H % tile_rows == 0, "H must be divisible by the tile height"
     minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
     minv_t = tuple(tuple(float(x) for x in row) for row in minv_s_m)
-    n, b0, b1 = _band_tiles(cfg, tile_rows)
-    use_split = split and b0 >= 1 and b1 <= n - 2 and (n - ((b1 - b0 + 1) + 2)) > 0
+    # interior tiles want to be large (halo traffic ~ 48/T row-planes);
+    # shrink until the band geometry leaves interior tiles to run on
+    T = interior_rows
+    use_split = False
+    while split and T >= 8:
+        if H % T == 0 and T % tile_rows == 0:
+            n, b0, b1 = _band_tiles(cfg, T)
+            if b0 >= 1 and b1 <= n - 2 and (n - ((b1 - b0 + 1) + 2)) > 0:
+                use_split = True
+                break
+        T //= 2
 
     def step(state, fields):
-        args = (
+        common = (
             state["f"], state["rho"], state["vel"],
             fields["flags"], fields["phi_obs"],
-            H, W, tile_rows, float(cfg.tau),
-            float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
         )
         if use_split:
-            f, rho_new, vel_new = _fused_step_split(*args, b0, b1)
+            f, rho_new, vel_new = _fused_step_split(
+                *common, H, W, T, tile_rows, float(cfg.tau),
+                float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
+                b0, b1,
+            )
         else:
-            f, rho_new, vel_new = _fused_step_generic(*args)
+            f, rho_new, vel_new = _fused_step_generic(
+                *common, H, W, tile_rows, float(cfg.tau),
+                float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
+            )
         return {"f": f, "rho": rho_new, "vel": vel_new}
 
     return step
 
 
-def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True):
+def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
+                               interior_rows: int = 32):
     """Runner advancing n steps by dispatching the jitted step per
     iteration. (Wrapping the two pallas calls in lax.fori_loop was
     measured ~5x slower: the while-loop carry forces XLA to copy the
     state buffers every iteration; per-step dispatch overhead is tiny by
     comparison at 2048^2.)"""
-    step = make_fused_step(cfg, tile_rows, split=split)
+    step = make_fused_step(cfg, tile_rows, split=split,
+                           interior_rows=interior_rows)
 
     def run(state, fields, n: int):
         for _ in range(n):

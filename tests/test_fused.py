@@ -38,14 +38,23 @@ def test_fused_generic_matches_unfused_interpret(tile_rows):
         _compare(cfg, n_steps=5, tile_rows=tile_rows, split=False)
 
 
-def test_fused_split_matches_unfused_interpret():
+@pytest.mark.parametrize(
+    "res,center,interior_rows",
+    [
+        ((96, 32), (16.0, 48.0), 16),   # T=16 interior tiles, BT=8 band
+        ((256, 32), (16.0, 128.0), 32),  # T=32 with 8-row halo blocks
+    ],
+)
+def test_fused_split_matches_unfused_interpret(res, center, interior_rows):
     """Interior/band two-call specialization must agree with the jnp step."""
     from jax.experimental.pallas import tpu as pltpu
     from jrl_lbm_tpu.ops.pallas import fused_step as fs
 
-    cfg = cyl.CylinderConfig(res=(96, 32), D=8.0, Re=500.0, cylinder_center=(16.0, 48.0))
-    n, b0, b1 = fs._band_tiles(cfg, 8)
-    assert 1 <= b0 and b1 <= n - 2, "test geometry must exercise the split"
+    cfg = cyl.CylinderConfig(res=res, D=8.0, Re=500.0, cylinder_center=center)
+    n, b0, b1 = fs._band_tiles(cfg, interior_rows)
+    assert 1 <= b0 and b1 <= n - 2 and n - ((b1 - b0 + 1) + 2) > 0, (
+        "test geometry must exercise the split"
+    )
     with pltpu.force_tpu_interpret_mode():
         _compare(cfg, n_steps=5, tile_rows=8, split=True)
 
