@@ -265,6 +265,31 @@ def fluid_record_steps(cfg: JRLFluidConfig, x_interval: float = 0.1):
     return steps
 
 
+def _pick_fluid_runner(cfg: JRLFluidConfig):
+    """Fused VMEM-resident kernel on TPU when the grid fits; jnp otherwise.
+
+    The fused kernel (`ops/pallas/fused_jrl.py`) runs whole multi-step
+    stretches with the state held in VMEM (~5x faster per step at
+    128x64). Set JRL_FUSED=0 to force the jnp path.
+    """
+    import os
+
+    if os.environ.get("JRL_FUSED", "1") != "0":
+        try:
+            import jax as _jax
+
+            from jrl_lbm_tpu.ops.pallas import fused_jrl
+
+            if (
+                fused_jrl.fits_vmem(cfg)
+                and _jax.devices()[0].platform != "cpu"
+            ):
+                return fused_jrl.make_fused_fluid_runner(cfg), True
+        except Exception:
+            pass
+    return make_fluid_runner(cfg), False
+
+
 def run_fluid_phase(cfg: JRLFluidConfig, progress: bool = False):
     """Full fluid phase; returns the normalized velocity history [N,2,H,W].
 
@@ -272,9 +297,12 @@ def run_fluid_phase(cfg: JRLFluidConfig, progress: bool = False):
     two-frame interpolation of each snapshot.
     """
     state, fields = fluid_init(cfg)
-    step_fn = make_fluid_step(cfg)
-    run = make_fluid_runner(cfg)
-    one = jax.jit(lambda s, i: step_fn(s, fields, i))
+    run, fused = _pick_fluid_runner(cfg)
+    if fused:
+        one = lambda s, i: run(s, fields, i, 1)  # noqa: E731
+    else:
+        step_fn = make_fluid_step(cfg)
+        one = jax.jit(lambda s, i: step_fn(s, fields, i))
 
     x_interval = 0.1
     v = cfg.vel_obs

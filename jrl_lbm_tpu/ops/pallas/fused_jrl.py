@@ -1,0 +1,478 @@
+"""Fused whole-loop Pallas kernel for the axisymmetric JRL fluid phase.
+
+The JRL tip-approach workloads run tens of millions of steps on tiny
+grids (128x64 at refine=1: `vel_obs ~ 1e-5` lattice units per step, so
+`total_steps ~ 1e7`, `demo_2d_LBM_JRL_fluid_cylinder.py:201-203`). At
+that size the unfused jnp path is bound by per-op HBM round-trips inside
+the `lax.fori_loop` body (~65 us/step measured), not by arithmetic.
+
+This kernel keeps the ENTIRE state (f, rho, vel) in VMEM for a whole
+multi-step stretch: one `pallas_call` runs `n` steps with an in-kernel
+`lax.fori_loop`, recomputing the moving-tip geometry (flags, phi,
+obs_vel) each step from the loop index — the same
+pure-function-of-step-index design as `models/jrl.py::make_fluid_step`,
+just never leaving VMEM. HBM is touched once per call instead of ~50
+times per step.
+
+Physics per step (identical to the unfused ops, validated in
+tests/test_fused_jrl.py):
+  stream (`ops/stream.py`: pull + reflect-clamp + x=0 axis mirroring +
+  sub-grid interpolation bounce + OBSTACLE store + OUTFLOW border copy)
+  -> solid-fluid coupling (`ops/coupling.py`: moving-wall target
+  velocity/density, 12-point velocity gradients, nonequilibrium
+  pressure-tensor reconstruction)
+  -> macro moments (`ops/macro.py`, OBSTACLE passthrough)
+  -> BGK collision with the axisymmetric LINE_X_EQ_0 source
+  (`ops/collide.py`: A1/A2/F2 terms with obstacle-pair-blocked isotropic
+  grad/div stencils).
+
+Reference call stack being fused: `demo_2d_LBM_JRL_fluid_*.py:201-236`
+(propagation.cu, solid_fluid_coupling.cu, LBM_collision_2d.py:343-471).
+
+Constraints: whole-domain single tile (the grid must fit VMEM, roughly
+H*W <= 131072 cells = refine 4 at the 128x64 base); LINE_X_EQ_0 only
+(the only axis any demo uses); the body force is the constant
+rho_init * gravity field the demos build once at init (rho_init == 1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jrl_lbm_tpu import lattice
+from jrl_lbm_tpu.utils.types import CellType
+
+FLUID = int(CellType.FLUID)
+OBSTACLE = int(CellType.OBSTACLE)
+OUTFLOW = int(CellType.OUTFLOW)
+
+E = lattice.E
+REFL = lattice.REFLECT
+MX = lattice.MIRROR_X
+AXIS_X_IN = lattice.AXIS_X_IN
+AXIS_X_OUT = lattice.AXIS_X_OUT
+W_Q = lattice.W
+CS2 = 1.0 / 3.0
+
+# VMEM budget: carry (12 planes) + refs (24) + stencil temporaries; stay
+# well under the ~16 MB/core VMEM with float32.
+MAX_FUSED_CELLS = 131072
+
+
+def _feq9(rho, ux, uy):
+    uv = ux * ux + uy * uy
+    out = []
+    for q in range(9):
+        ex, ey = float(E[q, 0]), float(E[q, 1])
+        eu = ex * ux + ey * uy
+        w = float(W_Q[q])
+        out.append(
+            rho * w * (1.0 + eu / CS2 + 0.5 * eu * eu / (CS2 * CS2) - 0.5 * uv / CS2)
+        )
+    return out
+
+
+def _make_jrl_fluid_kernel(cfg, n_steps):
+    """Kernel body closure. All cfg-derived quantities are Python floats
+    (baked into the kernel); only (f, rho, vel, start_step) are traced."""
+    H, W = cfg.eff_res
+    tau = float(cfg.tau)
+    vel_obs = float(cfg.vel_obs)
+    rg = float(cfg.Rg_radius)
+    box_r = float(cfg.box_radius)
+    inflow_h = float(cfg.inflow_height)
+    # constant body force: force = rho_init * gravity with rho_init == 1
+    # everywhere (density_fluid == density_wall == 1, `fluid_init`)
+    fy = float(-cfg.gravity_strength)
+    flat = cfg.shape in ("cylinder", "infiniteplane")
+    eps = 1e-10
+
+    def kernel(start_ref, f_ref, rho_ref, vel_ref, f_out, rho_out, vel_out):
+        iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        at_x0 = ix == 0
+        at_xW = ix == W - 1
+        at_y0 = iy == 0
+        at_yH = iy == H - 1
+        xs = ix.astype(jnp.float32) + 0.5  # mesh[0] (= r, radial coord)
+        ys = iy.astype(jnp.float32) + 0.5  # mesh[1]
+
+        # base flags (`models/jrl.py::fluid_base_flags`): top row OBSTACLE,
+        # column 0 FLUID (symmetry axis), other borders OUTFLOW
+        base_flags = jnp.where(
+            at_yH,
+            OBSTACLE,
+            jnp.where(
+                at_x0, FLUID, jnp.where(at_y0 | at_xW, OUTFLOW, FLUID)
+            ),
+        )
+
+        start = start_ref[0, 0]
+
+        def step(i, carry):
+            f, rho, vel0, vel1 = carry
+            fq = [f[q] for q in range(9)]
+            step_idx = start + i.astype(jnp.float32)
+            walks = inflow_h + step_idx * vel_obs
+            walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
+
+            # ---- moving-tip geometry (pure function of walks) ----
+            # tip SDF: box-corner max + top-wall union (utils/sdf.py)
+            tx = (xs - (rg - box_r)) - box_r
+            ty = (ys - (walks - box_r)) - box_r
+            ty_top = -(ys - float(H))
+            if flat:
+                phi = jnp.minimum(jnp.maximum(tx, ty), ty_top)
+                tip = (iy < walks_int) & (ix < jnp.int32(rg))
+                flags = jnp.where(tip, OBSTACLE, base_flags)
+                obs_v0 = jnp.zeros((H, W), jnp.float32)
+                obs_v1 = jnp.where(tip, vel_obs, 0.0)
+                vel0 = jnp.where(tip, 0.0, vel0)
+                vel1 = jnp.where(tip, vel_obs, vel1)
+            else:
+                # 45-degree wedge (jrl_tip_45degree)
+                y1 = (walks - box_r) + box_r
+                x1 = (rg - box_r) + box_r
+                align = (xs + ys - (x1 + y1)) * (1.0 / jnp.sqrt(2.0))
+                phi = jnp.minimum(jnp.maximum(ty, align), ty_top)
+                tip = phi <= 0
+                flags = jnp.where(tip, OBSTACLE, base_flags)
+                obs_v0 = jnp.zeros((H, W), jnp.float32)
+                obs_v1 = jnp.where(tip & ~at_yH, vel_obs, 0.0)
+                vel0 = jnp.where(tip, obs_v0, vel0)
+                vel1 = jnp.where(tip, obs_v1, vel1)
+
+            is_fluid = flags == FLUID
+            is_obs = flags == OBSTACLE
+            obs_m = is_obs.astype(jnp.float32)
+
+            # ---- streaming pulls (ops/stream.py semantics) ----
+            def sxp(a, ex, fluid):
+                """Value from x - ex; axis collapse at col 0, reflect-clamp
+                for non-FLUID (`propagation.cu:76-87`)."""
+                if ex == 0:
+                    return a
+                v = pltpu.roll(a, ex % W, axis=1)
+                if ex == 1:
+                    return jnp.where(at_x0, a, v)  # x=0 symmetry axis
+                if not fluid:
+                    return jnp.where(at_xW, pltpu.roll(a, 1, axis=1), v)
+                return v
+
+            def syp(a, ey, fluid):
+                if ey == 0:
+                    return a
+                v = pltpu.roll(a, ey % H, axis=0)
+                if ey == 1:
+                    if not fluid:
+                        return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=0), v)
+                    return v
+                if not fluid:
+                    return jnp.where(at_yH, pltpu.roll(a, 1, axis=0), v)
+                return v
+
+            def pull_both(a, ex, ey):
+                vf = syp(sxp(a, ex, True), ey, True)
+                vs = syp(sxp(a, ex, False), ey, False)
+                return jnp.where(is_fluid, vf, vs)
+
+            raw_in = [fq[0]] + [None] * 8
+            streamed = [fq[0]] + [None] * 8
+            for q in range(1, 9):
+                ex, ey = int(E[q, 0]), int(E[q, 1])
+                val = pull_both(fq[q], ex, ey)
+                if q in AXIS_X_IN:  # mirror the incoming channel on the axis
+                    val = jnp.where(at_x0, pull_both(fq[int(MX[q])], ex, ey), val)
+                raw_in[q] = val
+
+                nbr_obs = pull_both(obs_m, ex, ey) > 0.5
+                f_this = fq[int(REFL[q])]
+                nxt = pull_both(fq[int(REFL[q])], -ex, -ey)
+                if q in AXIS_X_OUT:
+                    oq = int(MX[q])
+                    nxt = jnp.where(
+                        at_x0, pull_both(fq[int(REFL[oq])], -ex, -ey), nxt
+                    )
+                t = phi
+                v1 = (2.0 * t - 1.0) * val + (2.0 - 2.0 * t) * f_this
+                v2 = (2.0 * t) * f_this + (1.0 - 2.0 * t) * nxt
+                v_obs = jnp.where(
+                    (t >= 0.5) & (t <= 1.0),
+                    v1,
+                    jnp.where((t >= 0.0) & (t <= 0.5), v2, f_this),
+                )
+                streamed[q] = jnp.where(nbr_obs, v_obs, val)
+
+            f_new = [fq[0]]
+            for p in range(1, 9):
+                f_new.append(
+                    jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p])
+                )
+
+            # OUTFLOW: copy all 9 populations from the inward neighbour,
+            # sequential border order as `ops/stream.py:238-243`
+            of_mask = flags == OUTFLOW
+            for q in range(9):
+                g = f_new[q]
+                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=0), g)
+                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+                f_new[q] = jnp.where(of_mask, g, f_new[q])
+
+            # ---- stencil shifts (ops/stencil.py minmax-clamp semantics) ----
+            def axm(a, sx, fluid):
+                if sx == 0:
+                    return a
+                v = pltpu.roll(a, (-sx) % W, axis=1)
+                if sx == -1:  # axis collapse == min clamp at col 0
+                    return jnp.where(at_x0, a, v)
+                if not fluid:
+                    return jnp.where(at_xW, a, v)
+                return v
+
+            def aym(a, sy, fluid):
+                if sy == 0:
+                    return a
+                v = pltpu.roll(a, (-sy) % H, axis=0)
+                if sy == -1:
+                    if not fluid:
+                        return jnp.where(at_y0, a, v)
+                    return v
+                if not fluid:
+                    return jnp.where(at_yH, a, v)
+                return v
+
+            def at_(a, sx, sy):
+                vf = aym(axm(a, sx, True), sy, True)
+                vs = aym(axm(a, sx, False), sy, False)
+                return jnp.where(is_fluid, vf, vs)
+
+            # neighbour-obstacle masks, shared by SFC and the Gi stencils
+            no8 = {
+                (sx, sy): at_(obs_m, sx, sy) > 0.5
+                for sx in (-1, 0, 1)
+                for sy in (-1, 0, 1)
+                if (sx, sy) != (0, 0)
+            }
+
+            # ---- solid-fluid coupling (ops/coupling.py) ----
+            t = phi
+            t_ok = (t > -eps) & (t <= 1.0 + eps)
+            skip = is_obs | at_xW | at_yH
+            rho_tgt = f_new[0]
+            for q in range(1, 9):
+                rho_tgt = rho_tgt + f_new[q]
+            vel_tgt_x = jnp.zeros((H, W), jnp.float32)
+            vel_tgt_y = jnp.zeros((H, W), jnp.float32)
+            count = jnp.zeros((H, W), jnp.float32)
+            valid = []
+            for q in range(9):
+                ex, ey = int(E[q, 0]), int(E[q, 1])
+                v_q = no8.get((ex, ey), jnp.zeros((H, W), bool)) & t_ok
+                valid.append(v_q)
+                vmask = v_q.astype(jnp.float32)
+                count = count + vmask
+                tq = jnp.where(v_q, t, 0.0)
+                ux = at_(vel0, -ex, -ey)
+                uy = at_(vel1, -ex, -ey)
+                if q in AXIS_X_IN:  # mirror radial component on the axis
+                    ux = jnp.where(at_x0, -ux, ux)
+                obs_ux = at_(obs_v0, ex, ey)
+                obs_uy = at_(obs_v1, ex, ey)
+                vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
+                vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
+                qi = int(REFL[q])
+                rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (
+                    float(E[qi, 0]) * obs_ux + float(E[qi, 1]) * obs_uy
+                )
+            safe_count = jnp.where(count > 0, count, 1.0)
+            u0 = vel_tgt_x / safe_count
+            u1 = vel_tgt_y / safe_count
+
+            def grad12(a):
+                gx = (
+                    4.0 * (at_(a, 1, 0) - at_(a, -1, 0))
+                    + (at_(a, 1, 1) - at_(a, -1, 1))
+                    + (at_(a, 1, -1) - at_(a, -1, -1))
+                ) / 12.0
+                gy = (
+                    4.0 * (at_(a, 0, 1) - at_(a, 0, -1))
+                    + (at_(a, 1, 1) - at_(a, 1, -1))
+                    + (at_(a, -1, 1) - at_(a, -1, -1))
+                ) / 12.0
+                return gx, gy
+
+            g00, g01 = grad12(vel0)
+            g10, g11 = grad12(vel1)
+            for q in range(9):
+                qi = int(REFL[q])
+                e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+                pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+                pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+                pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+                pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+                recon = float(W_Q[qi]) * rho_tgt * (
+                    1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1)
+                    + 0.5 * pab / (CS2 * CS2)
+                )
+                mask = valid[q] & jnp.logical_not(skip)
+                f_new[qi] = jnp.where(mask, recon, f_new[qi])
+
+            # ---- macro moments (OBSTACLE passthrough) ----
+            macro_rho = f_new[0]
+            for q in range(1, 9):
+                macro_rho = macro_rho + f_new[q]
+            rho_n = jnp.where(is_obs, rho, macro_rho)
+            mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+            mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+            safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+            un0 = jnp.where(is_obs, vel0, mom_x / safe_rho)
+            un1 = jnp.where(is_obs, vel1, mom_y / safe_rho)
+
+            # ---- BGK collision + axisymmetric LINE_X_EQ_0 source ----
+            # feq with the Guo half-force shift (force = (0, fy) constant)
+            sh = jnp.where(rho_n <= eps, 0.0, 0.5 * fy / safe_rho)
+            feq_n = _feq9(rho_n, un0, un1 + sh)
+
+            r = xs
+            ur = un0
+            A1 = -rho_n * ur / r
+            visc = CS2 * (tau - 0.5)
+            mu = visc * rho_n
+            pressure = rho_n * CS2
+
+            def grad_blocked(a):
+                """Obstacle-pair-blocked isotropic gradient (ops/stencil.py
+                get_grad; zero at OBSTACLE cells)."""
+                def val(sx, sy):
+                    return at_(a, sx, sy)
+
+                gx = jnp.zeros((H, W), jnp.float32)
+                bx = jnp.zeros((H, W), bool)
+                p = no8[(1, 0)] | no8[(-1, 0)]
+                gx = gx + jnp.where(p, 0.0, 4.0 * (val(1, 0) - val(-1, 0)))
+                bx = bx | p
+                p = no8[(1, 1)] | no8[(-1, 1)]
+                gx = gx + jnp.where(p, 0.0, val(1, 1) - val(-1, 1))
+                bx = bx | p
+                p = no8[(-1, -1)] | no8[(1, -1)]
+                gx = gx + jnp.where(p, 0.0, val(1, -1) - val(-1, -1))
+                bx = bx | p
+                gx = jnp.where(bx | is_obs, 0.0, gx) / 12.0
+
+                gy = jnp.zeros((H, W), jnp.float32)
+                by = jnp.zeros((H, W), bool)
+                p = no8[(0, 1)] | no8[(0, -1)]
+                gy = gy + jnp.where(p, 0.0, 4.0 * (val(0, 1) - val(0, -1)))
+                by = by | p
+                p = no8[(1, 1)] | no8[(1, -1)]
+                gy = gy + jnp.where(p, 0.0, val(1, 1) - val(1, -1))
+                by = by | p
+                p = no8[(-1, 1)] | no8[(-1, -1)]
+                gy = gy + jnp.where(p, 0.0, val(-1, 1) - val(-1, -1))
+                by = by | p
+                gy = jnp.where(by | is_obs, 0.0, gy) / 12.0
+                return gx, gy
+
+            def div_free(m0, m1):
+                """Isotropic divergence, no pair masking (get_div)."""
+                d = 4.0 * (at_(m0, 1, 0) - at_(m0, -1, 0))
+                d = d + at_(m0, 1, 1) - at_(m0, -1, 1)
+                d = d + at_(m0, 1, -1) - at_(m0, -1, -1)
+                d = d + 4.0 * (at_(m1, 0, 1) - at_(m1, 0, -1))
+                d = d + at_(m1, 1, 1) - at_(m1, 1, -1)
+                d = d + at_(m1, -1, 1) - at_(m1, -1, -1)
+                return jnp.where(is_obs, 0.0, d / 12.0)
+
+            gu_x, _ = grad_blocked(un0)
+            gv_x, _ = grad_blocked(un1)
+            gp_x, _ = grad_blocked(pressure)
+            div_m = div_free(rho_n * ur * un0, rho_n * ur * un1)
+            A2 = (gp_x + div_m) * (1.0 / (2.0 * r))
+            ga1_x, ga1_y = grad_blocked(A1)
+            F2_0 = (mu / r) * (gu_x - ur / r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
+            F2_1 = (mu / r) * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
+
+            inv_tau = 1.0 / tau
+            f_out_l = []
+            for q in range(9):
+                e0, e1 = float(E[q, 0]), float(E[q, 1])
+                Gq = (A1 + A2 + (e0 * F2_0 + e1 * F2_1) / CS2) * float(W_Q[q])
+                collided = f_new[q] + inv_tau * (feq_n[q] - f_new[q]) + Gq
+                f_out_l.append(jnp.where(is_obs, f_new[q], collided))
+
+            return (jnp.stack(f_out_l), rho_n, un0, un1)
+
+        f0 = f_ref[:]
+        rho0 = rho_ref[:]
+        v0 = vel_ref[0]
+        v1 = vel_ref[1]
+        fN, rhoN, u0N, u1N = jax.lax.fori_loop(
+            0, n_steps, step, (f0, rho0, v0, v1)
+        )
+        f_out[:] = fN
+        rho_out[:] = rhoN
+        vel_out[0] = u0N
+        vel_out[1] = u1N
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def _fused_fluid_run(f, rho, vel, start_step, cfg, n):
+    H, W = cfg.eff_res
+    kernel = _make_jrl_fluid_kernel(cfg, n)
+    start = jnp.asarray(start_step, jnp.float32).reshape(1, 1)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((2, H, W), f32),
+        ],
+    )(start, f, rho, vel)
+
+
+def fits_vmem(cfg) -> bool:
+    H, W = cfg.eff_res
+    return H * W <= MAX_FUSED_CELLS
+
+
+def make_fused_fluid_runner(cfg):
+    """Drop-in replacement for `models.jrl.make_fluid_runner`: advances n
+    steps entirely inside one VMEM-resident kernel. Same signature
+    (state, fields, start_step, n) — `fields` is accepted for
+    compatibility (geometry/force are recomputed in-kernel)."""
+    if cfg.shape not in ("cylinder", "infiniteplane", "45degree", "ethaline"):
+        raise ValueError(f"unknown tip shape {cfg.shape}")
+    if not fits_vmem(cfg):
+        raise ValueError(
+            f"grid {cfg.eff_res} exceeds the fused kernel's VMEM budget"
+        )
+
+    def run(state, fields, start_step, n: int):
+        del fields
+        f, rho, vel = _fused_fluid_run(
+            state["f"], state["rho"], state["vel"], start_step, cfg, int(n)
+        )
+        return {"f": f, "rho": rho, "vel": vel}
+
+    return run
