@@ -188,7 +188,7 @@ def c_main(
         C_np, h_np = load_balance_h5(h5_C)
         state = {"C": jnp.asarray(C_np), "h": jnp.asarray(h_np)}
     else:
-        run_bal = jrl.make_balance_runner(cfg, flags)
+        run_bal = jrl.pick_balance_runner(cfg, flags)
         steps = cfg.balance_steps
         interval = max(1, steps // 100)
         done = 0

@@ -652,6 +652,23 @@ def make_balance_runner(cfg: JRLCConfig, flags):
     return run
 
 
+def pick_balance_runner(cfg: JRLCConfig, flags):
+    """Fused VMEM-resident balance kernel on TPU when the grid fits
+    (`ops/pallas/fused_jrl.py`); jnp `make_balance_runner` otherwise.
+    Set JRL_FUSED=0 to force the jnp path."""
+    import os
+
+    if os.environ.get("JRL_FUSED", "1") != "0":
+        try:
+            from jrl_lbm_tpu.ops.pallas import fused_jrl
+
+            if fused_jrl.fits_vmem(cfg) and jax.devices()[0].platform != "cpu":
+                return fused_jrl.make_fused_balance_runner(cfg, flags)
+        except Exception:
+            pass
+    return make_balance_runner(cfg, flags)
+
+
 def make_approach_runner(cfg: JRLCConfig):
     """Runner that advances n steps and accumulates running-mean integrals."""
     step = make_approach_step(cfg)

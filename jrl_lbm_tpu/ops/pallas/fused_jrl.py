@@ -456,6 +456,167 @@ def fits_vmem(cfg) -> bool:
     return H * W <= MAX_FUSED_CELLS
 
 
+def _make_balance_kernel(cfg, n_steps):
+    """C-lattice balance-phase kernel: zero velocity, fixed flags.
+
+    Per step (== `models/jrl.py::make_balance_step`): stream h with the
+    flag BCs (half-way bounce, INFLOW C=0 sink, INFLOW_2 C=1 reservoir,
+    OUTFLOW copy, x=0 axis mirroring) -> C = sum h (OBSTACLE passthrough)
+    -> BGK with the per-direction axisymmetric convection rate
+    w_q = 1/tau_D + (1 - 0.5/tau_D) e_x / r (`LBM_collision_2d.py:513-529`;
+    the convection Gi vanishes at zero velocity). With u = 0 the
+    equilibrium reduces to w_q * C.
+    """
+    H, W = cfg.eff_res
+    tau_D = float(cfg.tau_D)
+    inv_tau = 1.0 / tau_D
+    rate_coef = 1.0 - 0.5 / tau_D
+
+    def kernel(flags_ref, h_ref, c_ref, h_out, c_out):
+        iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        at_x0 = ix == 0
+        at_xW = ix == W - 1
+        at_y0 = iy == 0
+        at_yH = iy == H - 1
+        r = ix.astype(jnp.float32) + 0.5
+
+        flags = flags_ref[:]
+        is_fluid = flags == FLUID
+        is_obs = flags == OBSTACLE
+        obs_m = is_obs.astype(jnp.float32)
+        in_mask = flags == int(CellType.INFLOW)
+        in2_mask = flags == int(CellType.INFLOW_2)
+        of_mask = flags == OUTFLOW
+
+        def sxp(a, ex, fluid):
+            if ex == 0:
+                return a
+            v = pltpu.roll(a, ex % W, axis=1)
+            if ex == 1:
+                return jnp.where(at_x0, a, v)
+            if not fluid:
+                return jnp.where(at_xW, pltpu.roll(a, 1, axis=1), v)
+            return v
+
+        def syp(a, ey, fluid):
+            if ey == 0:
+                return a
+            v = pltpu.roll(a, ey % H, axis=0)
+            if ey == 1:
+                if not fluid:
+                    return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=0), v)
+                return v
+            if not fluid:
+                return jnp.where(at_yH, pltpu.roll(a, 1, axis=0), v)
+            return v
+
+        def pull_both(a, ex, ey):
+            vf = syp(sxp(a, ex, True), ey, True)
+            vs = syp(sxp(a, ex, False), ey, False)
+            return jnp.where(is_fluid, vf, vs)
+
+        # flags are fixed: hoist the neighbour-obstacle masks out of the loop
+        nbr_obs = {
+            q: pull_both(obs_m, int(E[q, 0]), int(E[q, 1])) > 0.5
+            for q in range(1, 9)
+        }
+        # per-direction relaxation rate (r-dependent)
+        w_rate = [
+            inv_tau + rate_coef * float(E[q, 0]) / r for q in range(9)
+        ]
+
+        def step(_, carry):
+            h, C = carry
+            hq = [h[q] for q in range(9)]
+
+            raw_in = [hq[0]] + [None] * 8
+            streamed = [hq[0]] + [None] * 8
+            for q in range(1, 9):
+                ex, ey = int(E[q, 0]), int(E[q, 1])
+                val = pull_both(hq[q], ex, ey)
+                if q in AXIS_X_IN:
+                    val = jnp.where(
+                        at_x0, pull_both(hq[int(MX[q])], ex, ey), val
+                    )
+                raw_in[q] = val
+                # no phi: plain half-way bounce from obstacle neighbours
+                streamed[q] = jnp.where(nbr_obs[q], hq[int(REFL[q])], val)
+
+            h_new = [hq[0]]
+            for p in range(1, 9):
+                h_new.append(
+                    jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p])
+                )
+
+            # INFLOW: feq(0, u) == 0; INFLOW_2: feq(1, 0) == w_q
+            for q in range(9):
+                g = jnp.where(in_mask, 0.0, h_new[q])
+                g = jnp.where(in2_mask, float(W_Q[q]), g)
+                h_new[q] = g
+            C = jnp.where(in_mask, 0.0, C)
+            C = jnp.where(in2_mask, 1.0, C)
+
+            # OUTFLOW border copies (ops/stream.py:238-243 order)
+            for q in range(9):
+                g = h_new[q]
+                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=0), g)
+                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+                h_new[q] = jnp.where(of_mask, g, h_new[q])
+
+            # macro C + convection BGK (u = 0)
+            macro_C = h_new[0]
+            for q in range(1, 9):
+                macro_C = macro_C + h_new[q]
+            C_n = jnp.where(is_obs, C, macro_C)
+
+            h_out_l = []
+            for q in range(9):
+                collided = h_new[q] + w_rate[q] * (float(W_Q[q]) * C_n - h_new[q])
+                h_out_l.append(jnp.where(is_obs, h_new[q], collided))
+            return (jnp.stack(h_out_l), C_n)
+
+        hN, cN = jax.lax.fori_loop(0, n_steps, step, (h_ref[:], c_ref[:]))
+        h_out[:] = hN
+        c_out[:] = cN
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "n"))
+def _fused_balance_run(h, C, flags, cfg, n):
+    H, W = cfg.eff_res
+    kernel = _make_balance_kernel(cfg, n)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+        ],
+    )(flags, h, C)
+
+
+def make_fused_balance_runner(cfg, flags):
+    """Drop-in replacement for `models.jrl.make_balance_runner` (same
+    (state, fields, n) signature) running the whole stretch in VMEM."""
+    if not fits_vmem(cfg):
+        raise ValueError(
+            f"grid {cfg.eff_res} exceeds the fused kernel's VMEM budget"
+        )
+
+    def run(state, fields, n: int):
+        del fields
+        h, C = _fused_balance_run(state["h"], state["C"], flags, cfg, int(n))
+        return {"C": C, "h": h}
+
+    return run
+
+
 def make_fused_fluid_runner(cfg):
     """Drop-in replacement for `models.jrl.make_fluid_runner`: advances n
     steps entirely inside one VMEM-resident kernel. Same signature

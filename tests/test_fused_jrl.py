@@ -56,6 +56,37 @@ def test_fused_jrl_fluid_matches_unfused(shape):
         )
 
 
+@pytest.mark.parametrize("shape,is_negative", [("ethaline", True), ("cylinder", False)])
+def test_fused_balance_matches_unfused(shape, is_negative):
+    """Fused C-lattice balance kernel vs the unfused step (both tip-shape
+    flag layouts: INFLOW_2 reservoirs differ between flat and wedge)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl
+
+    cfg = jrl.JRLCConfig(
+        res=(48, 32), Re=4.0, Pe=5.0, vel_obs_real=0.2848,
+        shape=shape, is_negative=is_negative,
+    )
+    state, fields, flags = jrl.c_init(cfg)
+    step = jrl.make_balance_step(cfg, flags)
+    ref = dict(state)
+    n = 10
+    for _ in range(n):
+        ref = step(ref, fields)
+
+    run = fused_jrl.make_fused_balance_runner(cfg, flags)
+    with pltpu.force_tpu_interpret_mode():
+        out = run(dict(state), fields, n)
+        out = jax.tree.map(np.asarray, out)
+
+    for key, tol in (("h", 2e-6), ("C", 2e-6)):
+        np.testing.assert_allclose(
+            np.asarray(out[key]), np.asarray(ref[key]), rtol=tol, atol=tol,
+            err_msg=f"{shape}:{key}",
+        )
+
+
 def test_fused_jrl_runner_contract():
     """Runner rejects grids over the VMEM budget; accepts chunked calls
     (start_step continuation) equivalently to one long call."""
