@@ -33,7 +33,7 @@ def main(
 
     if (
         jax.default_backend() != "cpu"
-        and collision in ("bgk", "mrt")
+        and collision in ("bgk", "mrt", "kbc")
         and res[0] % 8 == 0
     ):
         try:

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jrl_lbm_tpu.ops import collide as _collide
 from jrl_lbm_tpu.ops import macro as _macro
 from jrl_lbm_tpu.ops import stream as _stream
+from jrl_lbm_tpu.utils.types import KBCType
 from jrl_lbm_tpu.ops.equilibrium import feq
 from jrl_lbm_tpu.utils.types import CellType
 
@@ -93,8 +94,14 @@ def make_step(cfg: ShearLayerConfig):
                 force=fields["force"], dx=cfg.dx, dt=cfg.dt,
             )
         elif cfg.collision == "kbc":
+            # default to KBC_A, the variant the reference demo passes
+            # (`demo_2d_LBM_KBC.py:102`; ignored there because the demo
+            # actually constructs MRT — quirk SURVEY §5.4)
+            kbc_type = cfg.kbc_type
+            if kbc_type is None:
+                kbc_type = int(KBCType.KBC_A)
             f = _collide.kbc_collide(
-                f, rho, vel, flags, tau=cfg.tau, kbc_type=cfg.kbc_type,
+                f, rho, vel, flags, tau=cfg.tau, kbc_type=kbc_type,
                 force=fields["force"], dx=cfg.dx, dt=cfg.dt,
             )
         else:

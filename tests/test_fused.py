@@ -59,15 +59,22 @@ def test_fused_split_matches_unfused_interpret(res, center, interior_rows):
         _compare(cfg, n_steps=5, tile_rows=8, split=True)
 
 
-@pytest.mark.parametrize("collision", ["bgk", "mrt"])
-def test_fused_periodic_matches_unfused_interpret(collision):
-    """The fully-periodic fused kernel vs the jnp shear-layer step."""
+@pytest.mark.parametrize(
+    "collision,kbc_type",
+    [("bgk", None), ("mrt", None)]
+    + [("kbc", k) for k in (0, 0b10000101, 0b10000110, 0b10001001, 0b10001010)],
+)
+def test_fused_periodic_matches_unfused_interpret(collision, kbc_type):
+    """The fully-periodic fused kernel vs the jnp shear-layer step
+    (BGK, MRT, and all five KBC variants incl. LBGK)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from jrl_lbm_tpu.models import shear_layer as sl
     from jrl_lbm_tpu.ops.pallas import fused_periodic as fp
 
-    cfg = sl.ShearLayerConfig(res=(32, 32), Re=1000.0, collision=collision)
+    cfg = sl.ShearLayerConfig(
+        res=(32, 32), Re=1000.0, collision=collision, kbc_type=kbc_type
+    )
     state, fields = sl.init(cfg)
     # run the reference steps first: interleaving eager jnp ops with
     # interpret-mode pallas calls deadlocks the interpret runtime's

@@ -61,32 +61,44 @@ def main():
     warmup, n_samples, every = 80000, 800, 50
     state = run(state, fields, warmup)
     lifts = []
+    probes = []  # transverse velocity in the wake: the standard St probe
+    cx, cy = cfg.center
+    px, py = int(cx), int(cy + 4 * cfg.D)
     for k in range(n_samples):
         state = run(state, fields, every)
         fx, fy = cyl.drag_lift(state, fields, cfg)
         lifts.append((float(fx), float(fy)))
+        probes.append(float(state["vel"][0, py, px]))
         if k % 100 == 0:
-            print(f"sample {k}: Cl={lifts[-1][0]:.4f} Cd_raw={lifts[-1][1]:.4f}",
-                  flush=True)
+            print(f"sample {k}: Cl={lifts[-1][0]:.4f} Cd_raw={lifts[-1][1]:.4f}"
+                  f" u_probe={probes[-1]:.5f}", flush=True)
 
     fx = np.asarray([l[0] for l in lifts])
     fy = np.asarray([l[1] for l in lifts])
+    ux = np.asarray(probes)
     denom = 0.5 * cfg.density * cfg.Vmax**2 * cfg.D
     cl = fx / denom
     cd = fy / denom
-    # dominant lift frequency
+
+    def dominant_freq(sig):
+        z = sig - sig.mean()
+        spec = np.abs(np.fft.rfft(z * np.hanning(len(z)))) ** 2
+        freqs = np.fft.rfftfreq(len(z), d=every)  # cycles per step
+        return float(freqs[int(spec[1:].argmax()) + 1])
+
     clz = cl - cl.mean()
-    spec = np.abs(np.fft.rfft(clz * np.hanning(len(clz)))) ** 2
-    freqs = np.fft.rfftfreq(len(clz), d=every)  # cycles per step
-    kmax = int(spec[1:].argmax()) + 1
-    f_shed = float(freqs[kmax])
+    f_shed = dominant_freq(cl)
     st = f_shed * cfg.D / cfg.Vmax
+    st_probe = dominant_freq(ux) * cfg.D / cfg.Vmax
+    np.savez(ROOT / "validation" / "results" / "cylinder_shedding_series.npz",
+             cl=cl, cd=cd, u_probe=ux, every=every, warmup=warmup)
     out = {
         "re_domain": cfg.Re,
         "re_cylinder": round(re_d, 1),
         "cd_mean": round(float(cd.mean()), 3),
         "cl_rms": round(float(np.sqrt((clz**2).mean())), 4),
         "strouhal": round(st, 4),
+        "strouhal_wake_probe": round(st_probe, 4),
         "shedding": bool(np.sqrt((clz**2).mean()) > 0.01),
         "note": "wake-perturbed IC, 80k-step warmup + 40k-step sampling "
                 "(120k total); saturated limit cycle",
