@@ -223,7 +223,7 @@ def c_main(
     fields_a = dict(fields)
     fields_a["vel_field"] = vel_field
 
-    run_app = jrl.make_approach_runner(cfg)
+    run_app = jrl.pick_approach_runner(cfg, vel_field)
     dumps = jrl.c_dump_steps(cfg)
     cur = 0
     it = dumps

@@ -699,6 +699,36 @@ def make_approach_runner(cfg: JRLCConfig):
     return run
 
 
+def pick_approach_runner(cfg: JRLCConfig, vel_field):
+    """Fused VMEM-resident approach kernel on TPU when the grid fits
+    (`ops/pallas/fused_jrl.py`, calls split at stored-frame boundaries);
+    the jnp `make_approach_runner` otherwise. Same (state, fields,
+    start_step, n) -> (state, acc) contract. JRL_FUSED=0 opts out."""
+    import os
+
+    if os.environ.get("JRL_FUSED", "1") != "0":
+        try:
+            from jrl_lbm_tpu.ops.pallas import fused_jrl
+
+            if (
+                fused_jrl.fits_vmem(cfg)
+                and fused_jrl.approach_prefers_fused(cfg)
+                and jax.devices()[0].platform != "cpu"
+            ):
+                return fused_jrl.make_fused_approach_runner(cfg, vel_field)
+        except Exception:
+            pass
+    base = make_approach_runner(cfg)
+    vf = jnp.asarray(vel_field)
+
+    def run(state, fields, start_step, n: int):
+        f2 = dict(fields)
+        f2.setdefault("vel_field", vf)
+        return base(state, f2, start_step, n)
+
+    return run
+
+
 def c_dump_steps(cfg: JRLCConfig):
     """Steps after which the reference writes a record line.
 

@@ -617,6 +617,354 @@ def make_fused_balance_runner(cfg, flags):
     return run
 
 
+# The fused approach runner splits calls at stored-frame boundaries, so
+# each pallas_call spans at most one frame interval (0.1/vel_obs_conv
+# steps). Below this many steps per frame, per-call dispatch overhead on
+# the device makes the unfused jnp runner faster; above it (small Pe,
+# where total_steps reaches 1e6-1e7) the fused kernel wins.
+APPROACH_MIN_STEPS_PER_FRAME = 64
+
+
+def approach_prefers_fused(cfg) -> bool:
+    return 0.1 / float(cfg.vel_obs_conv) >= APPROACH_MIN_STEPS_PER_FRAME
+
+
+def _make_approach_kernel(cfg, n_steps, at_end):
+    """C-lattice approach-phase kernel for a stretch over which the
+    stored-velocity frame pair (b, b+1) is CONSTANT (the host wrapper
+    splits calls at frame boundaries, so the per-step work is pure VMEM).
+
+    Per step (== `models/jrl.py::make_approach_step`): tip geometry from
+    the walk position (strict phi<0 for wedge shapes, rectangular block
+    for flat), C zeroed in the tip, velocity = lerp(frame_b, frame_b+1)
+    scaled by vel_obs_conv, stream h with sub-grid bounce, macro-C
+    (clamped to [0,1] for flat variants), BGK with the per-direction
+    axisymmetric rate + convection source, and the tip-disk
+    inflow/current integrals accumulated into scalars.
+    """
+    H, W = cfg.eff_res
+    tau_D = float(cfg.tau_D)
+    inv_tau = 1.0 / tau_D
+    rate_coef = 1.0 - 0.5 / tau_D
+    v = float(cfg.vel_obs_conv)
+    rg = float(cfg.Rg_radius)
+    box_r = float(cfg.box_radius)
+    inflow_h = float(cfg.inflow_height)
+    inflow_h_int = int(cfg.inflow_height_int)
+    rint = int(cfg.radius_obs_int)
+    flat = cfg.shape in ("cylinder", "infiniteplane")
+    is_neg = bool(cfg.is_negative)
+    x_interval = 0.1
+    eps = 1e-10
+    import math as _math
+
+    def kernel(
+        start_ref, bf_ref, base_ref, f0_ref, f1_ref, h_ref, c_ref,
+        h_out, c_out, acc_out,
+    ):
+        iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        at_x0 = ix == 0
+        at_xW = ix == W - 1
+        at_y0 = iy == 0
+        at_yH = iy == H - 1
+        xs = ix.astype(jnp.float32) + 0.5
+        ys = iy.astype(jnp.float32) + 0.5
+        r = xs
+        # annulus areas pi((i+1)^2 - i^2) = pi(2i+1) on the tip disk
+        area_w = jnp.where(
+            ix < rint, _math.pi * (2.0 * ix.astype(jnp.float32) + 1.0), 0.0
+        )
+        w_rate = [inv_tau + rate_coef * float(E[q, 0]) / r for q in range(9)]
+
+        base_flags = base_ref[:]
+        start = start_ref[0, 0]
+        b_f = bf_ref[0, 0]
+        v00, v01 = f0_ref[0], f0_ref[1]
+        v10, v11 = f1_ref[0], f1_ref[1]
+        init_block = (iy < inflow_h_int) & (ix < jnp.int32(rg))
+
+        def sxp(a, ex, fluid):
+            if ex == 0:
+                return a
+            vv = pltpu.roll(a, ex % W, axis=1)
+            if ex == 1:
+                return jnp.where(at_x0, a, vv)
+            if not fluid:
+                return jnp.where(at_xW, pltpu.roll(a, 1, axis=1), vv)
+            return vv
+
+        def syp(a, ey, fluid):
+            if ey == 0:
+                return a
+            vv = pltpu.roll(a, ey % H, axis=0)
+            if ey == 1:
+                if not fluid:
+                    return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=0), vv)
+                return vv
+            if not fluid:
+                return jnp.where(at_yH, pltpu.roll(a, 1, axis=0), vv)
+            return vv
+
+        def step(i, carry):
+            h, C, inflow_s, current_s, rec_u, rec_v = carry
+            hq = [h[q] for q in range(9)]
+            step_idx = start + i.astype(jnp.float32)
+            walks = inflow_h + step_idx * v
+            walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
+
+            # ---- geometry (strict: phi < 0; `_c_flags_at`) ----
+            tx = (xs - (rg - box_r)) - box_r
+            ty = (ys - (walks - box_r)) - box_r
+            ty_top = -(ys - float(H))
+            if flat:
+                phi = jnp.maximum(tx, ty)
+                if is_neg:
+                    phi = jnp.minimum(phi, ty_top)
+                obs = (iy < walks_int) & (ix < jnp.int32(rg))
+            else:
+                x1 = rg
+                y1 = walks
+                align = (xs + ys - (x1 + y1)) * (1.0 / jnp.sqrt(2.0))
+                phi = jnp.maximum(ty, align)
+                if is_neg:
+                    phi = jnp.minimum(phi, ty_top)
+                obs = (phi < 0) | init_block
+            flags = jnp.where(obs, OBSTACLE, base_flags)
+            head = (iy == walks_int - 1) & (ix < rint)
+            flags = jnp.where(head, int(CellType.INFLOW), flags)
+            C = jnp.where(flags == OBSTACLE, 0.0, C)
+
+            is_fluid = flags == FLUID
+            is_obs = flags == OBSTACLE
+            obs_m = is_obs.astype(jnp.float32)
+            in_mask = flags == int(CellType.INFLOW)
+            in2_mask = flags == int(CellType.INFLOW_2)
+            of_mask = flags == OUTFLOW
+
+            # ---- stored-velocity interpolation (b constant per call) ----
+            x_comp = step_idx * v
+            t = x_comp / x_interval - b_f
+            if at_end:
+                u0, u1 = v00, v01
+            else:
+                u0 = v00 * (1.0 - t) + v10 * t
+                u1 = v01 * (1.0 - t) + v11 * t
+            tip_block = (iy < walks_int) & (ix < jnp.int32(rg))
+            cv0 = jnp.where(tip_block, 0.0, u0 * v)
+            cv1 = jnp.where(tip_block, v, u1 * v)
+
+            def pull_both(a, ex, ey):
+                vf = syp(sxp(a, ex, True), ey, True)
+                vs = syp(sxp(a, ex, False), ey, False)
+                return jnp.where(is_fluid, vf, vs)
+
+            # ---- streaming with sub-grid interpolation bounce ----
+            raw_in = [hq[0]] + [None] * 8
+            streamed = [hq[0]] + [None] * 8
+            for q in range(1, 9):
+                ex, ey = int(E[q, 0]), int(E[q, 1])
+                val = pull_both(hq[q], ex, ey)
+                if q in AXIS_X_IN:
+                    val = jnp.where(at_x0, pull_both(hq[int(MX[q])], ex, ey), val)
+                raw_in[q] = val
+                nbr_obs = pull_both(obs_m, ex, ey) > 0.5
+                f_this = hq[int(REFL[q])]
+                nxt = pull_both(hq[int(REFL[q])], -ex, -ey)
+                if q in AXIS_X_OUT:
+                    oq = int(MX[q])
+                    nxt = jnp.where(
+                        at_x0, pull_both(hq[int(REFL[oq])], -ex, -ey), nxt
+                    )
+                tt = phi
+                v1_ = (2.0 * tt - 1.0) * val + (2.0 - 2.0 * tt) * f_this
+                v2_ = (2.0 * tt) * f_this + (1.0 - 2.0 * tt) * nxt
+                v_obs = jnp.where(
+                    (tt >= 0.5) & (tt <= 1.0),
+                    v1_,
+                    jnp.where((tt >= 0.0) & (tt <= 0.5), v2_, f_this),
+                )
+                streamed[q] = jnp.where(nbr_obs, v_obs, val)
+
+            h_new = [hq[0]]
+            for p in range(1, 9):
+                h_new.append(jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p]))
+
+            # INFLOW: feq(0, u) == 0 sink; INFLOW_2: feq(1, local C_vel)
+            feq_in2 = _feq9(jnp.ones((H, W), jnp.float32), cv0, cv1)
+            for q in range(9):
+                g = jnp.where(in_mask, 0.0, h_new[q])
+                h_new[q] = jnp.where(in2_mask, feq_in2[q], g)
+            C = jnp.where(in_mask, 0.0, C)
+            C = jnp.where(in2_mask, 1.0, C)
+
+            # OUTFLOW border copies
+            for q in range(9):
+                g = h_new[q]
+                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=0), g)
+                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+                h_new[q] = jnp.where(of_mask, g, h_new[q])
+
+            # ---- macro C (+ clamp on flat variants) ----
+            macro_C = h_new[0]
+            for q in range(1, 9):
+                macro_C = macro_C + h_new[q]
+            C_n = jnp.where(is_obs, C, macro_C)
+            if flat:
+                C_n = jnp.clip(C_n, 0.0, 1.0)
+
+            # ---- BGK + convection source (all local) ----
+            feq_n = _feq9(C_n, cv0, cv1)
+            ur = cv0
+            h_out_l = []
+            for q in range(9):
+                s_q = rate_coef * float(E[q, 0]) / r
+                Gq = -(ur / r) * feq_n[q] * (1.0 - 0.5 / tau_D - 0.5 * s_q)
+                collided = h_new[q] + w_rate[q] * (feq_n[q] - h_new[q]) + Gq
+                h_out_l.append(jnp.where(is_obs, h_new[q], collided))
+
+            # ---- tip-disk integrals (`C_ethaline:364-385`) ----
+            if flat:
+                # flux form dC_z + dC_r (`C_cylinder:344-358`)
+                Cm1 = pltpu.roll(C_n, 1, axis=0)  # C[row-1] at row
+                rC = xs * C_n
+                rC_next = pltpu.roll(rC, W - 1, axis=1)  # rC[col+1] at col
+                dC = (C_n - Cm1) + (rC_next - rC) / xs
+                new_inflow = jnp.sum(
+                    jnp.where(iy == walks_int, dC * area_w, 0.0)
+                )
+                new_current = jnp.sum(
+                    jnp.where(iy == walks_int + 1, dC * area_w, 0.0)
+                )
+            else:
+                new_inflow = jnp.sum(
+                    jnp.where(iy == walks_int, C_n * area_w, 0.0)
+                )
+                new_current = jnp.sum(
+                    jnp.where(iy == walks_int + 1, C_n * area_w, 0.0)
+                )
+            rec_u = jnp.sum(jnp.where(iy == walks_int + 1, cv0 * area_w, 0.0))
+            rec_v = jnp.sum(jnp.where(iy == walks_int + 1, cv1 * area_w, 0.0))
+
+            return (
+                jnp.stack(h_out_l), C_n,
+                inflow_s + new_inflow, current_s + new_current, rec_u, rec_v,
+            )
+
+        z = jnp.zeros((), jnp.float32)
+        hN, cN, infl, curr, ru, rv = jax.lax.fori_loop(
+            0, n_steps, step, (h_ref[:], c_ref[:], z, z, z, z)
+        )
+        h_out[:] = hN
+        c_out[:] = cN
+        # lane-mask construction ( .at[].set scalar scatter has no Mosaic
+        # lowering): acc[0, 0..3] = (inflow, current, rec_u, rec_v)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        acc_out[:] = (
+            jnp.where(lane == 0, infl, 0.0)
+            + jnp.where(lane == 1, curr, 0.0)
+            + jnp.where(lane == 2, ru, 0.0)
+            + jnp.where(lane == 3, rv, 0.0)
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "n", "at_end"))
+def _fused_approach_run(h, C, base_flags, frame0, frame1, start_step, b_f,
+                        cfg, n, at_end):
+    H, W = cfg.eff_res
+    kernel = _make_approach_kernel(cfg, n, at_end)
+    f32 = jnp.float32
+    start = jnp.asarray(start_step, f32).reshape(1, 1)
+    bf = jnp.asarray(b_f, f32).reshape(1, 1)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((1, 128), f32),
+        ],
+    )(start, bf, base_flags, frame0, frame1, h, C)
+
+
+def make_fused_approach_runner(cfg, vel_field):
+    """Drop-in replacement for `models.jrl.make_approach_runner`, with the
+    stored velocity history bound at construction. Same call signature
+    (state, fields, start_step, n) -> (state, acc); `fields` must carry
+    `base_flags` (it is ignored otherwise — the velocity frames come from
+    the bound `vel_field`). Calls are split internally at stored-frame
+    boundaries so each kernel stretch sees a constant (b, b+1) pair.
+    """
+    import numpy as np
+
+    if not fits_vmem(cfg):
+        raise ValueError(
+            f"grid {cfg.eff_res} exceeds the fused kernel's VMEM budget"
+        )
+    frames = jnp.asarray(vel_field, jnp.float32)
+    n_frames = int(frames.shape[0])
+    v = np.float32(cfg.vel_obs_conv)
+    x_int = np.float32(0.1)
+
+    def frame_of(step: int) -> int:
+        # must match the kernel/unfused f32 arithmetic exactly
+        x = np.float32(np.float32(step) * v)
+        return int(np.clip(np.floor(x / x_int), 0, n_frames - 1))
+
+    def run(state, fields, start_step, n: int):
+        start = int(start_step)
+        h, C = state["h"], state["C"]
+        base_flags = fields["base_flags"]
+        infl = curr = 0.0
+        ru = rv = 0.0
+        s = start
+        end = start + int(n)
+        while s < end:
+            b = frame_of(s)
+            if b >= n_frames - 1:
+                seg_end = end
+            else:
+                # first step whose frame index exceeds b
+                lo = s + 1
+                hi = end
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    if frame_of(mid) > b:
+                        hi = mid
+                    else:
+                        lo = mid + 1
+                seg_end = lo
+            at_end = b + 1 >= n_frames
+            f0 = frames[b]
+            f1 = frames[min(b + 1, n_frames - 1)]
+            h, C, acc = _fused_approach_run(
+                h, C, base_flags, f0, f1, float(s), float(b), cfg,
+                int(seg_end - s), bool(at_end),
+            )
+            infl = infl + acc[0, 0]
+            curr = curr + acc[0, 1]
+            ru, rv = acc[0, 2], acc[0, 3]
+            s = seg_end
+        acc_d = {
+            "inflow_sum": infl,
+            "current_sum": curr,
+            "count": jnp.asarray(float(n), jnp.float32),
+            "rec_u": ru,
+            "rec_v": rv,
+        }
+        return ({"C": C, "h": h}, acc_d)
+
+    return run
+
+
 def make_fused_fluid_runner(cfg):
     """Drop-in replacement for `models.jrl.make_fluid_runner`: advances n
     steps entirely inside one VMEM-resident kernel. Same signature

@@ -87,6 +87,50 @@ def test_fused_balance_matches_unfused(shape, is_negative):
         )
 
 
+@pytest.mark.parametrize("shape,is_negative", [("ethaline", True), ("cylinder", True)])
+def test_fused_approach_matches_unfused(shape, is_negative):
+    """Fused approach kernel vs the unfused runner, spanning a stored
+    velocity-frame boundary (the fused path splits calls there) and the
+    moving tip, with the inflow/current integral accumulators."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl
+
+    cfg = jrl.JRLCConfig(
+        res=(48, 32), Re=4.0, Pe=3.0, vel_obs_real=0.2848,
+        shape=shape, is_negative=is_negative,
+    )
+    assert 1 < 0.1 / cfg.vel_obs_conv < 6, "frame boundary must fall within n"
+    state, fields, _flags = jrl.c_init(cfg)
+    rng = np.random.default_rng(0)
+    H, W = cfg.eff_res
+    vel_field = (0.1 * rng.standard_normal((3, 2, H, W))).astype(np.float32)
+
+    n = 8
+    fields_ref = dict(fields)
+    fields_ref["vel_field"] = jnp.asarray(vel_field)
+    run_ref = jrl.make_approach_runner(cfg)
+    (ref_state, ref_acc) = run_ref(
+        dict(state), fields_ref, jnp.asarray(0, jnp.int32), n
+    )
+
+    run_f = fused_jrl.make_fused_approach_runner(cfg, vel_field)
+    with pltpu.force_tpu_interpret_mode():
+        out_state, acc = run_f(dict(state), fields, 0, n)
+        out_state, acc = jax.tree.map(np.asarray, (out_state, acc))
+
+    for key, tol in (("h", 1e-5), ("C", 1e-5)):
+        np.testing.assert_allclose(
+            out_state[key], np.asarray(ref_state[key]), rtol=tol, atol=tol,
+            err_msg=f"{shape}:{key}",
+        )
+    for key in ("inflow_sum", "current_sum", "rec_u", "rec_v", "count"):
+        np.testing.assert_allclose(
+            float(acc[key]), float(ref_acc[key]), rtol=1e-4, atol=1e-4,
+            err_msg=f"{shape}:{key}",
+        )
+
+
 def test_fused_jrl_runner_contract():
     """Runner rejects grids over the VMEM budget; accepts chunked calls
     (start_step continuation) equivalently to one long call."""

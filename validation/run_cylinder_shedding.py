@@ -92,16 +92,34 @@ def main():
     st_probe = dominant_freq(ux) * cfg.D / cfg.Vmax
     np.savez(ROOT / "validation" / "results" / "cylinder_shedding_series.npz",
              cl=cl, cd=cd, u_probe=ux, every=every, warmup=warmup)
+
+    # The reference's INFLOW BC (feq(rho=1, Vmax) overwrite each step)
+    # admits less flux than nominal: the interior settles at a higher
+    # density and a lower free-stream velocity. Normalize by the MEASURED
+    # incident velocity for literature comparison.
+    u_eff = float(np.asarray(state["vel"])[1, 50, 1:-1].mean())
+    scale = cfg.Vmax / u_eff
+    nu = (cfg.tau - 0.5) / 3.0
+    re_eff = u_eff * cfg.D / nu
     out = {
         "re_domain": cfg.Re,
-        "re_cylinder": round(re_d, 1),
-        "cd_mean": round(float(cd.mean()), 3),
+        "re_cylinder_nominal": round(re_d, 1),
+        "u_eff": round(u_eff, 5),
+        "re_cylinder_effective": round(re_eff, 1),
+        "cd_mean_nominal": round(float(cd.mean()), 3),
+        "cd_mean_effective": round(float(cd.mean()) * scale * scale, 3),
         "cl_rms": round(float(np.sqrt((clz**2).mean())), 4),
-        "strouhal": round(st, 4),
-        "strouhal_wake_probe": round(st_probe, 4),
+        "strouhal_nominal": round(st, 4),
+        "strouhal_wake_probe_nominal": round(st_probe, 4),
+        "strouhal_effective": round(st * scale, 4),
         "shedding": bool(np.sqrt((clz**2).mean()) > 0.01),
-        "note": "wake-perturbed IC, 80k-step warmup + 40k-step sampling "
-                "(120k total); saturated limit cycle",
+        "note": "wake-perturbed IC, 80k warmup + 40k sampling; saturated "
+                "limit cycle. The reference's INFLOW equilibrium BC admits "
+                "u_eff < Vmax (density piles up ~4%), so literature "
+                "comparison uses the measured incident velocity: at "
+                "Re_eff~90 expect St~0.16-0.17 and Cd~1.35-1.45 (5% "
+                "blockage). Cl_rms from the control-surface balance "
+                "includes the unsteady volume term and overestimates.",
     }
     print(json.dumps(out))
     with open(ROOT / "validation" / "results" / "cylinder_shedding.json", "w") as fo:
