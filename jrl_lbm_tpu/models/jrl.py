@@ -710,11 +710,7 @@ def pick_approach_runner(cfg: JRLCConfig, vel_field):
         try:
             from jrl_lbm_tpu.ops.pallas import fused_jrl
 
-            if (
-                fused_jrl.fits_vmem(cfg)
-                and fused_jrl.approach_prefers_fused(cfg)
-                and jax.devices()[0].platform != "cpu"
-            ):
+            if fused_jrl.fits_vmem(cfg) and jax.devices()[0].platform != "cpu":
                 return fused_jrl.make_fused_approach_runner(cfg, vel_field)
         except Exception:
             pass

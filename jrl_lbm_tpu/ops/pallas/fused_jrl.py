@@ -617,22 +617,18 @@ def make_fused_balance_runner(cfg, flags):
     return run
 
 
-# The fused approach runner splits calls at stored-frame boundaries, so
-# each pallas_call spans at most one frame interval (0.1/vel_obs_conv
-# steps). Below this many steps per frame, per-call dispatch overhead on
-# the device makes the unfused jnp runner faster; above it (small Pe,
-# where total_steps reaches 1e6-1e7) the fused kernel wins.
-APPROACH_MIN_STEPS_PER_FRAME = 64
+# Max stored-velocity frames held in VMEM per kernel call (a window of
+# K frames is 2*K*H*W*4 bytes: ~1 MB at 128x64 with K=16). A run() call
+# spanning more frames is split into ceil(span / (K-1)) kernel calls.
+APPROACH_FRAME_WINDOW = 16
 
 
-def approach_prefers_fused(cfg) -> bool:
-    return 0.1 / float(cfg.vel_obs_conv) >= APPROACH_MIN_STEPS_PER_FRAME
-
-
-def _make_approach_kernel(cfg, n_steps, at_end):
-    """C-lattice approach-phase kernel for a stretch over which the
-    stored-velocity frame pair (b, b+1) is CONSTANT (the host wrapper
-    splits calls at frame boundaries, so the per-step work is pure VMEM).
+def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
+    """C-lattice approach-phase kernel over a window of K stored-velocity
+    frames held in VMEM; the per-step frame index b = clip(floor(x/0.1),
+    0, n_frames-1) is computed in-kernel and the frame pair is read with
+    a dynamic leading-dim ref index, so one call spans a whole dump
+    stretch regardless of Pe.
 
     Per step (== `models/jrl.py::make_approach_step`): tip geometry from
     the walk position (strict phi<0 for wedge shapes, rectangular block
@@ -659,7 +655,7 @@ def _make_approach_kernel(cfg, n_steps, at_end):
     import math as _math
 
     def kernel(
-        start_ref, bf_ref, base_ref, f0_ref, f1_ref, h_ref, c_ref,
+        start_ref, b0w_ref, base_ref, win_ref, h_ref, c_ref,
         h_out, c_out, acc_out,
     ):
         iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -679,10 +675,18 @@ def _make_approach_kernel(cfg, n_steps, at_end):
 
         base_flags = base_ref[:]
         start = start_ref[0, 0]
-        b_f = bf_ref[0, 0]
-        v00, v01 = f0_ref[0], f0_ref[1]
-        v10, v11 = f1_ref[0], f1_ref[1]
+        b0w = b0w_ref[0, 0]  # global frame index of window slot 0
         init_block = (iy < inflow_h_int) & (ix < jnp.int32(rg))
+
+        if hoist_frames:
+            # the host guarantees the frame index is constant over this
+            # call (long frame intervals): load the pair once
+            bh = jnp.clip(
+                jnp.floor(start * v / x_interval), 0.0, float(n_frames - 1)
+            )
+            bh_rel = (bh - b0w).astype(jnp.int32)
+            fh0 = win_ref[bh_rel]
+            fh1 = win_ref[jnp.minimum(bh_rel + 1, K - 1)]
 
         def sxp(a, ex, fluid):
             if ex == 0:
@@ -742,14 +746,21 @@ def _make_approach_kernel(cfg, n_steps, at_end):
             in2_mask = flags == int(CellType.INFLOW_2)
             of_mask = flags == OUTFLOW
 
-            # ---- stored-velocity interpolation (b constant per call) ----
+            # ---- stored-velocity interpolation (in-kernel frame pick) ----
             x_comp = step_idx * v
-            t = x_comp / x_interval - b_f
-            if at_end:
-                u0, u1 = v00, v01
+            b_g = jnp.clip(
+                jnp.floor(x_comp / x_interval), 0.0, float(n_frames - 1)
+            )
+            t = x_comp / x_interval - b_g
+            if hoist_frames:
+                f0, f1 = fh0, fh1
             else:
-                u0 = v00 * (1.0 - t) + v10 * t
-                u1 = v01 * (1.0 - t) + v11 * t
+                b_rel = (b_g - b0w).astype(jnp.int32)
+                f0 = win_ref[b_rel]
+                f1 = win_ref[jnp.minimum(b_rel + 1, K - 1)]
+            use_lerp = b_g + 1.0 < float(n_frames)
+            u0 = jnp.where(use_lerp, f0[0] * (1.0 - t) + f1[0] * t, f0[0])
+            u1 = jnp.where(use_lerp, f0[1] * (1.0 - t) + f1[1] * t, f0[1])
             tip_block = (iy < walks_int) & (ix < jnp.int32(rg))
             cv0 = jnp.where(tip_block, 0.0, u0 * v)
             cv1 = jnp.where(tip_block, v, u1 * v)
@@ -872,36 +883,37 @@ def _make_approach_kernel(cfg, n_steps, at_end):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n", "at_end"))
-def _fused_approach_run(h, C, base_flags, frame0, frame1, start_step, b_f,
-                        cfg, n, at_end):
+@partial(jax.jit, static_argnames=("cfg", "n", "K", "n_frames", "hoist"))
+def _fused_approach_run(h, C, base_flags, window, start_step, b0w,
+                        cfg, n, K, n_frames, hoist):
     H, W = cfg.eff_res
-    kernel = _make_approach_kernel(cfg, n, at_end)
+    kernel = _make_approach_kernel(cfg, n, K, n_frames, hoist)
     f32 = jnp.float32
     start = jnp.asarray(start_step, f32).reshape(1, 1)
-    bf = jnp.asarray(b_f, f32).reshape(1, 1)
+    b0 = jnp.asarray(b0w, f32).reshape(1, 1)
     return pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
             jax.ShapeDtypeStruct((9, H, W), f32),
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((1, 128), f32),
         ],
-    )(start, bf, base_flags, frame0, frame1, h, C)
+    )(start, b0, base_flags, window, h, C)
 
 
 def make_fused_approach_runner(cfg, vel_field):
     """Drop-in replacement for `models.jrl.make_approach_runner`, with the
     stored velocity history bound at construction. Same call signature
     (state, fields, start_step, n) -> (state, acc); `fields` must carry
-    `base_flags` (it is ignored otherwise — the velocity frames come from
-    the bound `vel_field`). Calls are split internally at stored-frame
-    boundaries so each kernel stretch sees a constant (b, b+1) pair.
+    `base_flags` (the velocity frames come from the bound `vel_field`).
+    Each kernel call carries a K-frame VMEM window and picks the frame
+    pair per step in-kernel; a call spanning more than K-1 frames is
+    split into multiple calls.
     """
     import numpy as np
 
@@ -911,6 +923,10 @@ def make_fused_approach_runner(cfg, vel_field):
         )
     frames = jnp.asarray(vel_field, jnp.float32)
     n_frames = int(frames.shape[0])
+    K = APPROACH_FRAME_WINDOW
+    if n_frames < K:  # pad so dynamic_slice windows are always K long
+        pad = jnp.repeat(frames[-1:], K - n_frames, axis=0)
+        frames = jnp.concatenate([frames, pad], axis=0)
     v = np.float32(cfg.vel_obs_conv)
     x_int = np.float32(0.1)
 
@@ -918,6 +934,12 @@ def make_fused_approach_runner(cfg, vel_field):
         # must match the kernel/unfused f32 arithmetic exactly
         x = np.float32(np.float32(step) * v)
         return int(np.clip(np.floor(x / x_int), 0, n_frames - 1))
+
+    # Long frame intervals (small Pe): split calls at frame boundaries
+    # and hoist the frame-pair load out of the step loop (per-step
+    # dynamic loads cost ~2x there). Short intervals: one call spans a
+    # K-frame window with per-step in-kernel frame picks.
+    hoist = (0.1 / float(v)) >= 64.0
 
     def run(state, fields, start_step, n: int):
         start = int(start_step)
@@ -928,26 +950,34 @@ def make_fused_approach_runner(cfg, vel_field):
         s = start
         end = start + int(n)
         while s < end:
-            b = frame_of(s)
-            if b >= n_frames - 1:
+            b_lo = frame_of(s)
+            b0w = min(b_lo, max(0, int(frames.shape[0]) - K))
+
+            def ok(b: int) -> bool:
+                if hoist:  # constant frame index per call
+                    return b == b_lo
+                # slot b-b0w with slot b+1 available for the lerp; the
+                # final frame needs no lerp partner (use_lerp is false)
+                if b == n_frames - 1:
+                    return b - b0w <= K - 1
+                return b - b0w <= K - 2
+
+            if ok(frame_of(end - 1)):
                 seg_end = end
             else:
-                # first step whose frame index exceeds b
-                lo = s + 1
-                hi = end
+                # first step whose frame falls outside the window
+                lo, hi = s + 1, end
                 while lo < hi:
                     mid = (lo + hi) // 2
-                    if frame_of(mid) > b:
+                    if not ok(frame_of(mid)):
                         hi = mid
                     else:
                         lo = mid + 1
                 seg_end = lo
-            at_end = b + 1 >= n_frames
-            f0 = frames[b]
-            f1 = frames[min(b + 1, n_frames - 1)]
+            window = jax.lax.dynamic_slice_in_dim(frames, b0w, K, axis=0)
             h, C, acc = _fused_approach_run(
-                h, C, base_flags, f0, f1, float(s), float(b), cfg,
-                int(seg_end - s), bool(at_end),
+                h, C, base_flags, window, float(s), float(b0w), cfg,
+                int(seg_end - s), K, n_frames, hoist,
             )
             infl = infl + acc[0, 0]
             curr = curr + acc[0, 1]

@@ -87,20 +87,31 @@ def test_fused_balance_matches_unfused(shape, is_negative):
         )
 
 
-@pytest.mark.parametrize("shape,is_negative", [("ethaline", True), ("cylinder", True)])
-def test_fused_approach_matches_unfused(shape, is_negative):
+@pytest.mark.parametrize(
+    "shape,is_negative,Pe",
+    [
+        ("ethaline", True, 3.0),   # short frame intervals: windowed picks
+        ("cylinder", True, 3.0),
+        ("ethaline", True, 0.05),  # long intervals: hoisted frame pair
+    ],
+)
+def test_fused_approach_matches_unfused(shape, is_negative, Pe):
     """Fused approach kernel vs the unfused runner, spanning a stored
-    velocity-frame boundary (the fused path splits calls there) and the
-    moving tip, with the inflow/current integral accumulators."""
+    velocity-frame boundary (windowed in-kernel frame picks) or a long
+    constant-frame stretch (hoisted pair), with the inflow/current
+    integral accumulators."""
     from jax.experimental.pallas import tpu as pltpu
 
     from jrl_lbm_tpu.ops.pallas import fused_jrl
 
     cfg = jrl.JRLCConfig(
-        res=(48, 32), Re=4.0, Pe=3.0, vel_obs_real=0.2848,
+        res=(48, 32), Re=4.0, Pe=Pe, vel_obs_real=0.2848,
         shape=shape, is_negative=is_negative,
     )
-    assert 1 < 0.1 / cfg.vel_obs_conv < 6, "frame boundary must fall within n"
+    if Pe == 3.0:
+        assert 1 < 0.1 / cfg.vel_obs_conv < 6, "frame boundary must fall in n"
+    else:
+        assert 0.1 / cfg.vel_obs_conv >= 64, "must exercise the hoist path"
     state, fields, _flags = jrl.c_init(cfg)
     rng = np.random.default_rng(0)
     H, W = cfg.eff_res
