@@ -59,9 +59,14 @@ AXIS_X_OUT = lattice.AXIS_X_OUT
 W_Q = lattice.W
 CS2 = 1.0 / 3.0
 
-# VMEM budget: carry (12 planes) + refs (24) + stencil temporaries; stay
-# well under the ~16 MB/core VMEM with float32.
+# Whole-domain VMEM budget. The fluid kernel's footprint (carry + refs +
+# stencil temporaries) is ~24 MB at 131072 cells (512x256, refine 4) —
+# above Mosaic's default 16 MB scoped-vmem limit but well within the
+# chip's physical VMEM, so the kernels request a raised limit below.
+# 131072 cells is validated on hardware (90.5 us/step at 512x256).
 MAX_FUSED_CELLS = 131072
+
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _feq9(rho, ux, uy):
@@ -448,6 +453,7 @@ def _fused_fluid_run(f, rho, vel, start_step, cfg, n):
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((2, H, W), f32),
         ],
+        compiler_params=_VMEM_PARAMS,
     )(start, f, rho, vel)
 
 
@@ -598,6 +604,7 @@ def _fused_balance_run(h, C, flags, cfg, n):
             jax.ShapeDtypeStruct((9, H, W), f32),
             jax.ShapeDtypeStruct((H, W), f32),
         ],
+        compiler_params=_VMEM_PARAMS,
     )(flags, h, C)
 
 
@@ -903,6 +910,7 @@ def _fused_approach_run(h, C, base_flags, window, start_step, b0w,
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((1, 128), f32),
         ],
+        compiler_params=_VMEM_PARAMS,
     )(start, b0, base_flags, window, h, C)
 
 
