@@ -71,11 +71,34 @@ def test_padded_propagate_axisymmetric_matches_core():
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_c), rtol=2e-6, atol=2e-7)
 
 
+def _assert_coupling_mask_nonempty(fields):
+    """The scene must contain cells where the curved solid-fluid
+    reconstruction fires (non-obstacle interior cell, obstacle neighbour,
+    sub-grid fraction t in (0, 1]) — i.e. the cylinder is in-domain."""
+    flags = np.asarray(fields["flags"])
+    phi = np.asarray(fields["phi_obs"])
+    is_obs = flags == int(CellType.OBSTACLE)
+    t_ok = (phi > -1e-10) & (phi <= 1.0 + 1e-10)
+    has_obs_nbr = np.zeros_like(is_obs)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            has_obs_nbr |= np.roll(is_obs, (-dy, -dx), axis=(0, 1))
+    mask = (~is_obs) & t_ok & has_obs_nbr
+    mask[-1, :] = False
+    mask[:, -1] = False
+    assert mask.sum() > 0, "no cell triggers the curved-boundary reconstruction"
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8)])
 def test_sharded_cylinder_step_matches_unsharded(mesh_shape):
     """N steps of the sharded cylinder step == the single-device step."""
-    cfg = cyl.CylinderConfig(res=(48, 32), D=8.0, Re=500.0)
+    cfg = cyl.CylinderConfig(
+        res=(48, 32), D=7.4, Re=500.0, cylinder_center=(16.0, 16.0)
+    )
     state, fields = cyl.init(cfg)
+    _assert_coupling_mask_nonempty(fields)
     run_ref = cyl.make_runner(cfg)
     ref = run_ref(state, fields, 20)
 
@@ -97,7 +120,9 @@ def test_sharded_cylinder_step_matches_unsharded(mesh_shape):
 
 
 def test_sharded_step_is_actually_sharded():
-    cfg = cyl.CylinderConfig(res=(48, 32), D=8.0, Re=500.0)
+    cfg = cyl.CylinderConfig(
+        res=(48, 32), D=7.4, Re=500.0, cylinder_center=(16.0, 16.0)
+    )
     state, fields = cyl.init(cfg)
     mesh = make_mesh((2, 4))
     sstate, sfields = shard_state(state, fields, mesh)

@@ -137,7 +137,9 @@ def test_shear_layer_scene_stability():
 def test_cylinder_scene_smoke():
     from jrl_lbm_tpu.models import cylinder as cyl
 
-    cfg = cyl.CylinderConfig(res=(200, 100), D=10.0, Re=200.0)
+    cfg = cyl.CylinderConfig(
+        res=(200, 100), D=9.3, Re=200.0, cylinder_center=(50.0, 60.0)
+    )
     state, fields = cyl.init(cfg)
     run = cyl.make_runner(cfg)
     state = run(state, fields, 300)
