@@ -165,6 +165,77 @@ def test_sharded_jrl_fluid_matches_unsharded(mesh_shape):
     )
 
 
+@pytest.mark.parametrize("shape", ["45degree", "cylinder"])
+def test_sharded_c_balance_matches_unsharded(shape):
+    """Sharded concentration balance step == single-device step."""
+    from jrl_lbm_tpu.models import jrl
+    from jrl_lbm_tpu.parallel.sharded import (
+        make_sharded_balance_runner,
+        shard_c_state,
+    )
+
+    cfg = jrl.JRLCConfig(res=(48, 32), Re=4.0, Pe=5.0, shape=shape)
+    state, fields, flags = jrl.c_init(cfg)
+    run_ref = jrl.make_balance_runner(cfg, flags)
+    ref = run_ref(state, fields, 20)
+
+    mesh = make_mesh((2, 4))
+    sstate, sfields, sflags = shard_c_state(state, fields, mesh, flags=flags)
+    run_sh = make_sharded_balance_runner(cfg, mesh)
+    out = run_sh(sstate, sfields, sflags, 20)
+
+    np.testing.assert_allclose(
+        np.asarray(out["C"]), np.asarray(ref["C"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["h"]), np.asarray(ref["h"]), rtol=1e-4, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("shape", ["45degree", "cylinder"])
+def test_sharded_c_approach_matches_unsharded(shape, mesh_shape):
+    """Sharded approach step (+ psum disk integrals) == single-device.
+
+    Covers both integral forms: the wedge shapes' plain disk integral
+    (`C_ethaline:364-381`) and the flat shapes' flux form
+    (`C_cylinder:344-358`), including the accumulated record quantities.
+    """
+    from jrl_lbm_tpu.models import jrl
+    from jrl_lbm_tpu.parallel.sharded import (
+        make_sharded_approach_runner,
+        shard_c_state,
+    )
+
+    cfg = jrl.JRLCConfig(res=(48, 32), Re=4.0, Pe=5.0, shape=shape)
+    state, fields, _flags = jrl.c_init(cfg)
+    rng = np.random.default_rng(7)
+    vel_field = jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=(4, 2, 48, 32)).astype(np.float32)
+    )
+    fields = dict(fields)
+    fields["vel_field"] = vel_field
+
+    run_ref = jrl.make_approach_runner(cfg)
+    ref_state, ref_acc = run_ref(state, fields, jnp.asarray(0, jnp.int32), 15)
+
+    mesh = make_mesh(mesh_shape)
+    sstate, sfields = shard_c_state(state, fields, mesh)
+    run_sh = make_sharded_approach_runner(cfg, mesh)
+    out_state, out_acc = run_sh(sstate, sfields, jnp.asarray(0, jnp.int32), 15)
+
+    np.testing.assert_allclose(
+        np.asarray(out_state["C"]), np.asarray(ref_state["C"]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state["h"]), np.asarray(ref_state["h"]), rtol=1e-4, atol=1e-6
+    )
+    for k in ("inflow_sum", "current_sum", "count", "rec_u", "rec_v"):
+        np.testing.assert_allclose(
+            float(out_acc[k]), float(ref_acc[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+
+
 def test_pad_halo_corners_and_wrap():
     """Halo values = global periodic neighbours, including corners."""
     from jrl_lbm_tpu.parallel.halo import pad_halo
