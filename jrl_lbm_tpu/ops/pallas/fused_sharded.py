@@ -1,0 +1,339 @@
+"""Fused cylinder step composed with shard_map 2D domain decomposition.
+
+`ops/pallas/fused_step.py` is single-device: its x pulls are full-width
+`pltpu.roll`s and its y halos are BlockSpec row-blocks of the SAME
+global array. Under shard_map each device owns only an (h, w) block, so
+this module re-expresses the complete fused update (streaming with flag
+BCs, curved solid-fluid reconstruction, macro moments, MRT collision —
+same reference call stack as `models/cylinder.py::make_step`:
+`propagation.cu`, `solid_fluid_coupling.cu`, `LBM_macro_compute_2d.py`,
+`LBM_collision_MRT_2d.py`) as ONE Pallas kernel over a halo-padded
+local block:
+
+* halos: `parallel.halo.pad_halo` (two-phase `ppermute` over ICI, 1 cell)
+  pads f/vel/flags before the kernel; every neighbour access inside the
+  kernel is then a static slice of the padded plane — no rolls, no
+  cross-shard reads;
+* the reference's global-border rules (reflect-clamp, OUTFLOW inward
+  copy, INFLOW plug) are applied through global-coordinate masks built
+  from the shard's (row0, col0) offset, passed as SMEM scalars — a shard
+  only touches a border rule if it owns a piece of the global border
+  (same contract as `parallel/padded_ops.py`);
+* like the single-device fused kernel, the coupling reads the PRE-update
+  velocity halo: propagate only rewrites vel at INFLOW cells, where it
+  writes the same constant every step, so pre == post there (validated
+  by the sharded-vs-unsharded equivalence test).
+
+Per-step communication: one 1-cell halo of (f, vel, flags) — O(surface);
+everything else is a single VMEM-resident kernel per shard per step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jrl_lbm_tpu import lattice
+from jrl_lbm_tpu.ops import collide as _collide
+from jrl_lbm_tpu.utils.types import CellType
+
+FLUID = int(CellType.FLUID)
+OBSTACLE = int(CellType.OBSTACLE)
+INFLOW = int(CellType.INFLOW)
+OUTFLOW = int(CellType.OUTFLOW)
+INFLOW_2 = int(CellType.INFLOW_2)
+
+E = lattice.E
+REFL = lattice.REFLECT
+W_Q = lattice.W
+CS2 = 1.0 / 3.0
+
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _feq_terms(rho, ux, uy):
+    uv = ux * ux + uy * uy
+    out = []
+    for q in range(9):
+        ex, ey = float(E[q, 0]), float(E[q, 1])
+        eu = ex * ux + ey * uy
+        w = float(W_Q[q])
+        out.append(
+            rho * w * (1.0 + eu / CS2 + 0.5 * eu * eu / (CS2 * CS2) - 0.5 * uv / CS2)
+        )
+    return out
+
+
+def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
+                              inflow_vx, inflow_vy, minv_s_m):
+    """One full cylinder-scene step on an (h, w) block padded to
+    (h+2, w+2); (row0, col0) global offsets arrive as SMEM scalars."""
+    A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+    FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
+    eps = 1e-10
+
+    def kernel(off_ref, flagsp_ref, fp_ref, velp_ref, rho_ref, phi_ref,
+               f_out, rho_out, vel_out):
+        row0 = off_ref[0]
+        col0 = off_ref[1]
+        gy = row0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        gx = col0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        at_y0 = gy == 0
+        at_yH = gy == H - 1
+        at_x0 = gx == 0
+        at_xW = gx == W - 1
+
+        flagsp = flagsp_ref[:]
+        flags = flagsp[1:-1, 1:-1]
+        is_fluid = flags == FLUID
+        not_fluid = jnp.logical_not(is_fluid)
+        is_obs = flags == OBSTACLE
+        obs_pad = (flagsp == OBSTACLE).astype(jnp.float32)
+
+        fp = [fp_ref[q] for q in range(9)]
+        velp = [velp_ref[0], velp_ref[1]]
+        rho_prev = rho_ref[:]
+        phi = phi_ref[:]
+        t_ok = (phi > -eps) & (phi <= 1.0 + eps)
+
+        def pull(plane_pad, ex, ey, style):
+            """Value at each cell from (y - ey, x - ex) of the padded
+            plane, with the reference's flag-dependent edge rules —
+            static-slice port of `parallel/padded_ops.py::pull2`."""
+
+            def sl(yo, xo):
+                return plane_pad[1 + yo : 1 + yo + h, 1 + xo : 1 + xo + w]
+
+            def cands(e_comp, lo_mask, hi_mask):
+                cs = [(None, -e_comp)]
+                if e_comp == 1:
+                    cs.append((lo_mask & not_fluid, 1 if style == "reflect" else 0))
+                elif e_comp == -1:
+                    cs.append((hi_mask & not_fluid, -1 if style == "reflect" else 0))
+                return cs
+
+            v = None
+            for my, yo in cands(ey, at_y0, at_yH):
+                for mx, xo in cands(ex, at_x0, at_xW):
+                    patch = sl(yo, xo)
+                    if v is None:
+                        v = patch
+                        continue
+                    m = mx if my is None else (my if mx is None else (mx & my))
+                    v = jnp.where(m, patch, v)
+            return v
+
+        # ---- streaming with sub-grid interpolation bounce-back ----
+        f_mid = [fp[q][1:-1, 1:-1] for q in range(9)]
+        raw_in = [f_mid[0]]
+        for q in range(1, 9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            raw_in.append(pull(fp[q], ex, ey, "reflect"))
+        f_new = [f_mid[0]]
+        for q in range(1, 9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
+            f_this = f_mid[int(REFL[q])]
+            nxt = pull(fp[int(REFL[q])], -ex, -ey, "reflect")
+            v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
+            v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
+            v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
+            streamed = jnp.where(nbr_obs, v_obs, raw_in[q])
+            f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
+
+        # ---- INFLOW plug equilibrium ----
+        in_mask = flags == INFLOW
+        for q in range(9):
+            f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
+        rho_after = jnp.where(in_mask, inflow_density, rho_prev)
+        velx_after = jnp.where(in_mask, inflow_vx, velp[0][1:-1, 1:-1])
+        vely_after = jnp.where(in_mask, inflow_vy, velp[1][1:-1, 1:-1])
+
+        # ---- OUTFLOW: copy all 9 from the inward neighbour (only at
+        # global borders; the inward neighbour is local to the shard) ----
+        of_mask = flags == OUTFLOW
+        for q in range(9):
+            g = f_new[q]
+            g = jnp.where(at_y0, pltpu.roll(g, h - 1, axis=0), g)
+            g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+            g = jnp.where(at_x0, pltpu.roll(g, w - 1, axis=1), g)
+            g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+            f_new[q] = jnp.where(of_mask, g, f_new[q])
+
+        # ---- solid-fluid coupling (static cylinder: obs_vel == 0) ----
+        skip = is_obs | at_xW | at_yH
+        rho_tgt = f_new[0]
+        for q in range(1, 9):
+            rho_tgt = rho_tgt + f_new[q]
+        vel_tgt_x = jnp.zeros((h, w), jnp.float32)
+        vel_tgt_y = jnp.zeros((h, w), jnp.float32)
+        count = jnp.zeros((h, w), jnp.float32)
+        valid = []
+        tq = jnp.where(t_ok, phi, 0.0)
+        for q in range(9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
+            v_q = nbr_obs & t_ok
+            valid.append(v_q)
+            vmask = v_q.astype(jnp.float32)
+            count = count + vmask
+            ux = pull(velp[0], ex, ey, "minmax")
+            uy = pull(velp[1], ex, ey, "minmax")
+            vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
+            vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
+        safe_count = jnp.where(count > 0, count, 1.0)
+        u0 = vel_tgt_x / safe_count
+        u1 = vel_tgt_y / safe_count
+
+        def grad12(plane_pad):
+            def at(sx, sy):
+                return pull(plane_pad, -sx, -sy, "minmax")
+
+            gxx = (
+                4.0 * (at(1, 0) - at(-1, 0))
+                + (at(1, 1) - at(-1, 1))
+                + (at(1, -1) - at(-1, -1))
+            ) / 12.0
+            gyy = (
+                4.0 * (at(0, 1) - at(0, -1))
+                + (at(1, 1) - at(1, -1))
+                + (at(-1, 1) - at(-1, -1))
+            ) / 12.0
+            return gxx, gyy
+
+        g00, g01 = grad12(velp[0])
+        g10, g11 = grad12(velp[1])
+
+        for q in range(9):
+            qi = int(REFL[q])
+            e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+            pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+            pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+            pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+            pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+            recon = float(W_Q[qi]) * rho_tgt * (
+                1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
+            )
+            mask = valid[q] & jnp.logical_not(skip)
+            f_new[qi] = jnp.where(mask, recon, f_new[qi])
+
+        # ---- macro + MRT ----
+        macro_rho = f_new[0]
+        for q in range(1, 9):
+            macro_rho = macro_rho + f_new[q]
+        rho_n = jnp.where(is_obs, rho_after, macro_rho)
+        mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+        mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+        safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+        u_x = jnp.where(is_obs, velx_after, mom_x / safe_rho)
+        u_y = jnp.where(is_obs, vely_after, mom_y / safe_rho)
+
+        feq_n = _feq_terms(rho_n, u_x, u_y)
+        d = [feq_n[q] - f_new[q] for q in range(9)]
+        for a in range(9):
+            omega = A[a][0] * d[0]
+            for b in range(1, 9):
+                omega = omega + A[a][b] * d[b]
+            f_out[a] = jnp.where(is_obs, f_new[a], f_new[a] + omega)
+        rho_out[:] = rho_n
+        vel_out[0] = u_x
+        vel_out[1] = u_y
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("h", "w", "H", "W", "tau", "inflow_density",
+                                   "inflow_vx", "inflow_vy", "minv_s_m",
+                                   "interpret"))
+def _padded_block_step(off, flagsp, fp, velp, rho, phi, h, w, H, W, tau,
+                       inflow_density, inflow_vx, inflow_vy, minv_s_m,
+                       interpret):
+    kernel = _make_padded_block_kernel(
+        h, w, H, W, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m
+    )
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, h, w), f32),
+            jax.ShapeDtypeStruct((h, w), f32),
+            jax.ShapeDtypeStruct((2, h, w), f32),
+        ],
+        compiler_params=None if interpret else _VMEM_PARAMS,
+        interpret=interpret,
+    )(off, flagsp, fp, velp, rho, phi)
+
+
+def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False):
+    """Sharded fused step: `ppermute` halos + one Pallas call per shard.
+
+    Same (state, fields) -> state contract as
+    `parallel.sharded.make_sharded_cylinder_step`, with the entire
+    per-shard update fused into a single kernel. ``interpret=True`` runs
+    the kernel in interpret mode (for CPU-mesh equivalence tests).
+    """
+    from jrl_lbm_tpu.parallel.halo import pad_halo
+    from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+    from jax.sharding import PartitionSpec as P
+
+    H, W = cfg.res
+    ny, nx = mesh.devices.shape
+    assert H % ny == 0 and W % nx == 0, "grid must tile the mesh"
+    h, w = H // ny, W // nx
+    assert h >= 3 and w >= 3, "blocks must be at least 3 cells wide"
+    minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
+    minv_t = tuple(tuple(float(x) for x in row) for row in minv_s_m)
+    iv = (0.0, float(cfg.Vmax))  # reference inflow plug (+y)
+
+    def local_step(f, rho, vel, flags, phi_obs):
+        row0 = jax.lax.axis_index(AXIS_Y) * h
+        col0 = jax.lax.axis_index(AXIS_X) * w
+        off = jnp.stack([row0, col0]).astype(jnp.int32)
+        fp = pad_halo(f, AXIS_Y, AXIS_X)
+        velp = pad_halo(vel, AXIS_Y, AXIS_X)
+        flagsp = pad_halo(flags, AXIS_Y, AXIS_X)
+        return _padded_block_step(
+            off, flagsp, fp, velp, rho, phi_obs, h, w, H, W,
+            float(cfg.tau), float(cfg.density), iv[0], iv[1], minv_t,
+            interpret,
+        )
+
+    spec2 = P(AXIS_Y, AXIS_X)
+    spec3 = P(None, AXIS_Y, AXIS_X)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # metadata, so the shard_map vma checker cannot type them
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec3, spec2, spec3, spec2, spec2),
+        out_specs=(spec3, spec2, spec3),
+        check_vma=False,
+    )
+
+    def step(state, fields):
+        f, rho, vel = sharded(
+            state["f"], state["rho"], state["vel"],
+            fields["flags"], fields["phi_obs"],
+        )
+        return {"f": f, "rho": rho, "vel": vel}
+
+    return step
+
+
+def make_sharded_fused_cylinder_runner(cfg, mesh, interpret: bool = False):
+    step = make_sharded_fused_cylinder_step(cfg, mesh, interpret=interpret)
+    jstep = jax.jit(step)
+
+    def run(state, fields, n: int):
+        for _ in range(n):
+            state = jstep(state, fields)
+        return state
+
+    return run
