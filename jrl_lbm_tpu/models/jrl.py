@@ -266,11 +266,10 @@ def fluid_record_steps(cfg: JRLFluidConfig, x_interval: float = 0.1):
 
 
 def _pick_fluid_runner(cfg: JRLFluidConfig):
-    """Fused VMEM-resident kernel on TPU when the grid fits; jnp otherwise.
-
-    The fused kernel (`ops/pallas/fused_jrl.py`) runs whole multi-step
-    stretches with the state held in VMEM (~5x faster per step at
-    128x64). Set JRL_FUSED=0 to force the jnp path.
+    """Fused kernel on TPU: VMEM-resident whole-loop kernel when the grid
+    fits (`ops/pallas/fused_jrl.py`, ~5x at 128x64), row-tiled two-kernel
+    step otherwise (`ops/pallas/fused_jrl_tiled.py`, ~140x over the jnp
+    path at refine 8 = 1024x512); jnp path on CPU or with JRL_FUSED=0.
     """
     import os
 
@@ -280,11 +279,13 @@ def _pick_fluid_runner(cfg: JRLFluidConfig):
 
             from jrl_lbm_tpu.ops.pallas import fused_jrl
 
-            if (
-                fused_jrl.fits_vmem(cfg)
-                and _jax.devices()[0].platform != "cpu"
-            ):
-                return fused_jrl.make_fused_fluid_runner(cfg), True
+            if _jax.devices()[0].platform != "cpu":
+                if fused_jrl.fits_vmem(cfg):
+                    return fused_jrl.make_fused_fluid_runner(cfg), True
+                from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled
+
+                if cfg.eff_res[0] % 8 == 0:
+                    return fused_jrl_tiled.make_tiled_fluid_runner(cfg), True
         except Exception:
             pass
     return make_fluid_runner(cfg), False

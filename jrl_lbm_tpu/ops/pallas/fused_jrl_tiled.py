@@ -1,0 +1,612 @@
+"""Row-tiled fused kernels for the JRL axisymmetric fluid phase at scales
+beyond VMEM (refine >= 8).
+
+`ops/pallas/fused_jrl.py` holds the whole state in VMEM for a multi-step
+stretch — unbeatable for the small JRL grids, but a 1024x512 (refine 8)
+domain needs ~244 MB of scoped VMEM against the chip's 128 MB (measured:
+`RESOURCE_EXHAUSTED, used 243.56M of 128.00M`). This module keeps the
+state in HBM and tiles each step over row-blocks, with y-halos expressed
+as BlockSpec neighbour blocks (the `fused_step.py` pattern) so Mosaic
+double-buffers all block DMA behind compute.
+
+The step is split into TWO kernels because the axisymmetric BGK source
+(`LBM_collision_2d.py:343-427`) applies grad/div stencils to the
+POST-macro (rho, vel) — a single-call tile would need 2-deep halos and a
+recomputed ring. Split, each kernel needs only the standard 1-row halo:
+
+* kernel A: streaming (reflect-clamp + x=0 axis mirroring + sub-grid
+  interpolation bounce + OBSTACLE store + OUTFLOW copy,
+  `propagation.cu`) -> moving-tip solid-fluid coupling
+  (`solid_fluid_coupling.cu`) -> macro moments;
+* kernel B: BGK collision with the full axisymmetric LINE_X_EQ_0 source
+  (A1/A2/F2 with obstacle-pair-blocked stencils).
+
+The moving-tip geometry (flags, phi, obs_vel) is ANALYTIC — recomputed
+per tile from global coordinates and the SMEM step index, including on
+halo rows, so no geometry arrays ever cross HBM. Reference call stack:
+`demo_2d_LBM_JRL_fluid_*.py:201-236`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jrl_lbm_tpu import lattice
+from jrl_lbm_tpu.utils.types import CellType
+
+FLUID = int(CellType.FLUID)
+OBSTACLE = int(CellType.OBSTACLE)
+OUTFLOW = int(CellType.OUTFLOW)
+
+E = lattice.E
+REFL = lattice.REFLECT
+MX = lattice.MIRROR_X
+AXIS_X_IN = lattice.AXIS_X_IN
+AXIS_X_OUT = lattice.AXIS_X_OUT
+W_Q = lattice.W
+CS2 = 1.0 / 3.0
+
+# the stitched-block temporaries exceed Mosaic's default 16 MB scoped
+# limit at TH=64 x W=512 (measured 19.99M); the chip has 128 MB
+_VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _feq9(rho, ux, uy):
+    uv = ux * ux + uy * uy
+    out = []
+    for q in range(9):
+        ex, ey = float(E[q, 0]), float(E[q, 1])
+        eu = ex * ux + ey * uy
+        w = float(W_Q[q])
+        out.append(
+            rho * w * (1.0 + eu / CS2 + 0.5 * eu * eu / (CS2 * CS2) - 0.5 * uv / CS2)
+        )
+    return out
+
+
+def _stitch(tp, mid, bt):
+    """[TH+2, W] padded plane from a row-block and its y-neighbours."""
+    return jnp.concatenate([tp[..., -1:, :], mid, bt[..., 0:1, :]], axis=-2)
+
+
+class _TileCtx:
+    """Per-tile masks + pull/stencil helpers over [TH+2, W] padded planes.
+
+    Pull semantics are the tile re-expression of `ops/stream.py::_pull`
+    (streaming, reflect-clamp + x=0 axis collapse) and
+    `ops/stencil.py::_at` (minmax clamp) — global y periodicity for FLUID
+    cells comes from the BlockSpec wrap of the neighbour blocks.
+    """
+
+    def __init__(self, TH, W, at_y0, at_yH, at_x0, at_xW, is_fluid):
+        self.TH, self.W = TH, W
+        self.at_y0, self.at_yH = at_y0, at_yH
+        self.at_x0, self.at_xW = at_x0, at_xW
+        self.is_fluid = is_fluid
+
+    def rows(self, pad, yo):
+        return pad[1 + yo : 1 + yo + self.TH, :]
+
+    def _pull1(self, pad, ex, ey, fluid):
+        base = self.rows(pad, -ey)
+        if ey == 1 and not fluid:  # global row 0 pulls from row 1
+            base = jnp.where(self.at_y0, self.rows(pad, 1), base)
+        if ey == -1 and not fluid:  # row H-1 pulls from H-2
+            base = jnp.where(self.at_yH, self.rows(pad, -1), base)
+        if ex == 0:
+            return base
+        v = pltpu.roll(base, ex % self.W, axis=1)
+        if ex == 1:  # x=0 symmetry axis collapse (always on for JRL)
+            return jnp.where(self.at_x0, base, v)
+        if not fluid:  # col W-1 pulls from W-2
+            return jnp.where(self.at_xW, pltpu.roll(base, 1, axis=1), v)
+        return v
+
+    def pull(self, pad, ex, ey):
+        """Streamed income: value from (y - ey, x - ex)."""
+        return jnp.where(
+            self.is_fluid,
+            self._pull1(pad, ex, ey, True),
+            self._pull1(pad, ex, ey, False),
+        )
+
+    def _at1(self, pad, sx, sy, fluid):
+        base = self.rows(pad, sy)
+        if sy == -1 and not fluid:
+            base = jnp.where(self.at_y0, self.rows(pad, 0), base)
+        if sy == 1 and not fluid:
+            base = jnp.where(self.at_yH, self.rows(pad, 0), base)
+        if sx == 0:
+            return base
+        v = pltpu.roll(base, (-sx) % self.W, axis=1)
+        if sx == -1:  # axis collapse == min clamp at col 0
+            return jnp.where(self.at_x0, base, v)
+        if not fluid:
+            return jnp.where(self.at_xW, base, v)
+        return v
+
+    def at_(self, pad, sx, sy):
+        """Stencil read: value from (y + sy, x + sx), minmax clamp."""
+        return jnp.where(
+            self.is_fluid,
+            self._at1(pad, sx, sy, True),
+            self._at1(pad, sx, sy, False),
+        )
+
+
+def _geometry(cfg_c, gy, gx, walks, walks_int):
+    """Analytic flags/phi/obs-velocity at the given global coordinates.
+
+    ``cfg_c`` is the dict of baked Python constants; gy/gx may cover halo
+    rows (already wrapped mod H). Mirrors the geometry section of
+    `fused_jrl._make_jrl_fluid_kernel` / `models/jrl.py::make_fluid_step`.
+    """
+    H = cfg_c["H"]
+    rg = cfg_c["rg"]
+    box_r = cfg_c["box_r"]
+    vel_obs = cfg_c["vel_obs"]
+    flat = cfg_c["flat"]
+    xs = gx.astype(jnp.float32) + 0.5
+    ys = gy.astype(jnp.float32) + 0.5
+    at_yH = gy == H - 1
+
+    tx = (xs - (rg - box_r)) - box_r
+    ty = (ys - (walks - box_r)) - box_r
+    ty_top = -(ys - float(H))
+    if flat:
+        phi = jnp.minimum(jnp.maximum(tx, ty), ty_top)
+        tip = (gy < walks_int) & (gx < jnp.int32(rg))
+        obs_v1 = jnp.where(tip, vel_obs, 0.0)
+    else:
+        align = (xs + ys - (rg + walks)) * (1.0 / jnp.sqrt(2.0))
+        phi = jnp.minimum(jnp.maximum(ty, align), ty_top)
+        tip = phi <= 0
+        obs_v1 = jnp.where(tip & ~at_yH, vel_obs, 0.0)
+    # base flags: top row OBSTACLE, col 0 FLUID (axis), row 0 / col W-1
+    # OUTFLOW, interior FLUID (`models/jrl.py::fluid_base_flags`)
+    base = jnp.where(
+        at_yH,
+        OBSTACLE,
+        jnp.where(
+            gx == 0,
+            FLUID,
+            jnp.where((gy == 0) | (gx == cfg_c["W"] - 1), OUTFLOW, FLUID),
+        ),
+    )
+    flags = jnp.where(tip, OBSTACLE, base)
+    return flags, phi, tip, obs_v1
+
+
+def _make_kernel_a(cfg_c, TH, tile_map):
+    """Streaming + solid-fluid coupling + macro over one TH-row tile."""
+    H, W = cfg_c["H"], cfg_c["W"]
+    tau = cfg_c["tau"]
+    vel_obs = cfg_c["vel_obs"]
+    flat = cfg_c["flat"]
+    inflow_h = cfg_c["inflow_h"]
+    eps = 1e-10
+
+    def kernel(step_ref, f_tp, f_m, f_bt, vel_tp, vel_m, vel_bt, rho_blk,
+               f_out, rho_out, vel_out):
+        t0 = tile_map(pl.program_id(0)) * TH
+        step_idx = step_ref[0, 0]
+        walks = inflow_h + step_idx * vel_obs
+        walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
+
+        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        at_y0 = gy == 0
+        at_yH = gy == H - 1
+        at_x0 = gx == 0
+        at_xW = gx == W - 1
+        # padded-row global coords (wrapped: halo rows come from the
+        # periodic neighbour blocks)
+        gy_p = jax.lax.rem(
+            t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0) + H, H
+        )
+        gx_p = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
+
+        flags, phi, tip, obs_v1 = _geometry(cfg_c, gy, gx, walks, walks_int)
+        flags_p, _, tip_p, obs_v1_p = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
+        obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
+
+        is_fluid = flags == FLUID
+        is_obs = flags == OBSTACLE
+        of_mask = flags == OUTFLOW
+        ctx = _TileCtx(TH, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
+
+        # tip-overwritten velocity (mid + padded, for the SFC pulls);
+        # `make_fluid_step`: flat overwrites (0, vel_obs) in the block,
+        # wedge overwrites with obs_vel (top row excluded)
+        vel0_m = vel_m[0]
+        vel1_m = vel_m[1]
+        vel_p0 = _stitch(vel_tp[0], vel_m[0], vel_bt[0])
+        vel_p1 = _stitch(vel_tp[1], vel_m[1], vel_bt[1])
+        if flat:
+            vel0_m = jnp.where(tip, 0.0, vel0_m)
+            vel1_m = jnp.where(tip, vel_obs, vel1_m)
+            vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
+            vel_p1 = jnp.where(tip_p, vel_obs, vel_p1)
+            obs_v1_full = jnp.where(tip, vel_obs, 0.0)
+            obs_v1_full_p = jnp.where(tip_p, vel_obs, 0.0)
+        else:
+            vel0_m = jnp.where(tip, 0.0, vel0_m)
+            vel1_m = jnp.where(tip, obs_v1, vel1_m)
+            vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
+            vel_p1 = jnp.where(tip_p, obs_v1_p, vel_p1)
+            obs_v1_full = obs_v1
+            obs_v1_full_p = obs_v1_p
+
+        f_pad = [_stitch(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]
+        fq = [f_m[q] for q in range(9)]
+
+        # ---- streaming (pull + axis mirroring + sub-grid bounce) ----
+        raw_in = [fq[0]] + [None] * 8
+        streamed = [fq[0]] + [None] * 8
+        for q in range(1, 9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            val = ctx.pull(f_pad[q], ex, ey)
+            if q in AXIS_X_IN:
+                val = jnp.where(at_x0, ctx.pull(f_pad[int(MX[q])], ex, ey), val)
+            raw_in[q] = val
+            nbr_obs = ctx.pull(obs_pad, ex, ey) > 0.5
+            f_this = fq[int(REFL[q])]
+            nxt = ctx.pull(f_pad[int(REFL[q])], -ex, -ey)
+            if q in AXIS_X_OUT:
+                oq = int(MX[q])
+                nxt = jnp.where(
+                    at_x0, ctx.pull(f_pad[int(REFL[oq])], -ex, -ey), nxt
+                )
+            t = phi
+            v1 = (2.0 * t - 1.0) * val + (2.0 - 2.0 * t) * f_this
+            v2 = (2.0 * t) * f_this + (1.0 - 2.0 * t) * nxt
+            v_obs = jnp.where(
+                (t >= 0.5) & (t <= 1.0),
+                v1,
+                jnp.where((t >= 0.0) & (t <= 0.5), v2, f_this),
+            )
+            streamed[q] = jnp.where(nbr_obs, v_obs, val)
+
+        f_new = [fq[0]]
+        for p in range(1, 9):
+            f_new.append(jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p]))
+
+        # OUTFLOW: copy all 9 from the inward neighbour (within-tile)
+        for q in range(9):
+            g = f_new[q]
+            g = jnp.where(at_y0, pltpu.roll(g, TH - 1, axis=0), g)
+            g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+            g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+            g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+            f_new[q] = jnp.where(of_mask, g, f_new[q])
+
+        # ---- solid-fluid coupling (moving tip) ----
+        t_ok = (phi > -eps) & (phi <= 1.0 + eps)
+        skip = is_obs | at_xW | at_yH
+        rho_tgt = f_new[0]
+        for q in range(1, 9):
+            rho_tgt = rho_tgt + f_new[q]
+        vel_tgt_x = jnp.zeros((TH, W), jnp.float32)
+        vel_tgt_y = jnp.zeros((TH, W), jnp.float32)
+        count = jnp.zeros((TH, W), jnp.float32)
+        valid = []
+        for q in range(9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            if (ex, ey) == (0, 0):
+                # q=0's self-is-obstacle contribution only touches cells
+                # the reconstruction skips (matches fused_jrl's zero mask)
+                nbr_obs = jnp.zeros((TH, W), bool)
+            else:
+                nbr_obs = ctx.at_(obs_pad, ex, ey) > 0.5
+            v_q = nbr_obs & t_ok
+            valid.append(v_q)
+            vmask = v_q.astype(jnp.float32)
+            count = count + vmask
+            tq = jnp.where(v_q, phi, 0.0)
+            ux = ctx.at_(vel_p0, -ex, -ey)
+            uy = ctx.at_(vel_p1, -ex, -ey)
+            if q in AXIS_X_IN:
+                ux = jnp.where(at_x0, -ux, ux)
+            obs_ux = jnp.zeros((TH, W), jnp.float32)
+            obs_uy = ctx.at_(obs_v1_full_p, ex, ey) if (ex, ey) != (0, 0) else obs_v1_full
+            vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
+            vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
+            qi = int(REFL[q])
+            rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (
+                float(E[qi, 0]) * obs_ux + float(E[qi, 1]) * obs_uy
+            )
+        safe_count = jnp.where(count > 0, count, 1.0)
+        u0 = vel_tgt_x / safe_count
+        u1 = vel_tgt_y / safe_count
+
+        def grad12(pad):
+            gxx = (
+                4.0 * (ctx.at_(pad, 1, 0) - ctx.at_(pad, -1, 0))
+                + (ctx.at_(pad, 1, 1) - ctx.at_(pad, -1, 1))
+                + (ctx.at_(pad, 1, -1) - ctx.at_(pad, -1, -1))
+            ) / 12.0
+            gyy = (
+                4.0 * (ctx.at_(pad, 0, 1) - ctx.at_(pad, 0, -1))
+                + (ctx.at_(pad, 1, 1) - ctx.at_(pad, 1, -1))
+                + (ctx.at_(pad, -1, 1) - ctx.at_(pad, -1, -1))
+            ) / 12.0
+            return gxx, gyy
+
+        g00, g01 = grad12(vel_p0)
+        g10, g11 = grad12(vel_p1)
+        for q in range(9):
+            qi = int(REFL[q])
+            e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+            pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+            pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+            pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+            pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+            recon = float(W_Q[qi]) * rho_tgt * (
+                1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
+            )
+            mask = valid[q] & jnp.logical_not(skip)
+            f_new[qi] = jnp.where(mask, recon, f_new[qi])
+
+        # ---- macro (OBSTACLE passthrough of pre-macro rho / tip vel) ----
+        macro_rho = f_new[0]
+        for q in range(1, 9):
+            macro_rho = macro_rho + f_new[q]
+        rho_n = jnp.where(is_obs, rho_blk[:], macro_rho)
+        mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+        mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+        safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+        un0 = jnp.where(is_obs, vel0_m, mom_x / safe_rho)
+        un1 = jnp.where(is_obs, vel1_m, mom_y / safe_rho)
+
+        for q in range(9):
+            f_out[q] = f_new[q]
+        rho_out[:] = rho_n
+        vel_out[0] = un0
+        vel_out[1] = un1
+
+    return kernel
+
+
+def _make_kernel_b(cfg_c, TH, tile_map):
+    """Axisymmetric BGK collision over one TH-row tile (post-macro
+    stencils on the stitched rho/vel neighbour blocks)."""
+    H, W = cfg_c["H"], cfg_c["W"]
+    tau = cfg_c["tau"]
+    vel_obs = cfg_c["vel_obs"]
+    inflow_h = cfg_c["inflow_h"]
+    fy = cfg_c["fy"]
+    eps = 1e-10
+
+    def kernel(step_ref, f_m, rho_tp, rho_m, rho_bt, vel_tp, vel_m, vel_bt,
+               f_out):
+        t0 = tile_map(pl.program_id(0)) * TH
+        step_idx = step_ref[0, 0]
+        walks = inflow_h + step_idx * vel_obs
+        walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
+
+        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        at_y0 = gy == 0
+        at_yH = gy == H - 1
+        at_x0 = gx == 0
+        at_xW = gx == W - 1
+        xs = gx.astype(jnp.float32) + 0.5
+        gy_p = jax.lax.rem(
+            t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0) + H, H
+        )
+        gx_p = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
+        xs_p = gx_p.astype(jnp.float32) + 0.5
+
+        flags, _, _, _ = _geometry(cfg_c, gy, gx, walks, walks_int)
+        flags_p, _, _, _ = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
+        obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
+        is_fluid = flags == FLUID
+        is_obs = flags == OBSTACLE
+        ctx = _TileCtx(TH, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
+
+        no8 = {
+            (sx, sy): ctx.at_(obs_pad, sx, sy) > 0.5
+            for sx in (-1, 0, 1)
+            for sy in (-1, 0, 1)
+            if (sx, sy) != (0, 0)
+        }
+
+        rho_p = _stitch(rho_tp[:], rho_m[:], rho_bt[:])
+        vel_p0 = _stitch(vel_tp[0], vel_m[0], vel_bt[0])
+        vel_p1 = _stitch(vel_tp[1], vel_m[1], vel_bt[1])
+        rho_n = rho_m[:]
+        un0 = vel_m[0]
+        un1 = vel_m[1]
+        fq = [f_m[q] for q in range(9)]
+
+        # feq with the Guo half-force shift (constant body force (0, fy))
+        safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+        sh = jnp.where(rho_n <= eps, 0.0, 0.5 * fy / safe_rho)
+        feq_n = _feq9(rho_n, un0, un1 + sh)
+
+        r = xs
+        ur = un0
+        A1 = -rho_n * ur / r
+        A1_pad = -rho_p * vel_p0 / xs_p
+        visc = CS2 * (tau - 0.5)
+        mu = visc * rho_n
+        pressure_pad = rho_p * CS2
+        mom0_pad = rho_p * vel_p0 * vel_p0
+        mom1_pad = rho_p * vel_p0 * vel_p1
+
+        def grad_blocked(pad):
+            def val(sx, sy):
+                return ctx.at_(pad, sx, sy)
+
+            gxx = jnp.zeros((TH, W), jnp.float32)
+            bx = jnp.zeros((TH, W), bool)
+            p = no8[(1, 0)] | no8[(-1, 0)]
+            gxx = gxx + jnp.where(p, 0.0, 4.0 * (val(1, 0) - val(-1, 0)))
+            bx = bx | p
+            p = no8[(1, 1)] | no8[(-1, 1)]
+            gxx = gxx + jnp.where(p, 0.0, val(1, 1) - val(-1, 1))
+            bx = bx | p
+            p = no8[(-1, -1)] | no8[(1, -1)]
+            gxx = gxx + jnp.where(p, 0.0, val(1, -1) - val(-1, -1))
+            bx = bx | p
+            gxx = jnp.where(bx | is_obs, 0.0, gxx) / 12.0
+
+            gyy = jnp.zeros((TH, W), jnp.float32)
+            by = jnp.zeros((TH, W), bool)
+            p = no8[(0, 1)] | no8[(0, -1)]
+            gyy = gyy + jnp.where(p, 0.0, 4.0 * (val(0, 1) - val(0, -1)))
+            by = by | p
+            p = no8[(1, 1)] | no8[(1, -1)]
+            gyy = gyy + jnp.where(p, 0.0, val(1, 1) - val(1, -1))
+            by = by | p
+            p = no8[(-1, 1)] | no8[(-1, -1)]
+            gyy = gyy + jnp.where(p, 0.0, val(-1, 1) - val(-1, -1))
+            by = by | p
+            gyy = jnp.where(by | is_obs, 0.0, gyy) / 12.0
+            return gxx, gyy
+
+        def div_free(m0_pad, m1_pad):
+            d = 4.0 * (ctx.at_(m0_pad, 1, 0) - ctx.at_(m0_pad, -1, 0))
+            d = d + ctx.at_(m0_pad, 1, 1) - ctx.at_(m0_pad, -1, 1)
+            d = d + ctx.at_(m0_pad, 1, -1) - ctx.at_(m0_pad, -1, -1)
+            d = d + 4.0 * (ctx.at_(m1_pad, 0, 1) - ctx.at_(m1_pad, 0, -1))
+            d = d + ctx.at_(m1_pad, 1, 1) - ctx.at_(m1_pad, 1, -1)
+            d = d + ctx.at_(m1_pad, -1, 1) - ctx.at_(m1_pad, -1, -1)
+            return jnp.where(is_obs, 0.0, d / 12.0)
+
+        gu_x, _ = grad_blocked(vel_p0)
+        gv_x, _ = grad_blocked(vel_p1)
+        gp_x, _ = grad_blocked(pressure_pad)
+        div_m = div_free(mom0_pad, mom1_pad)
+        A2 = (gp_x + div_m) * (1.0 / (2.0 * r))
+        ga1_x, ga1_y = grad_blocked(A1_pad)
+        F2_0 = (mu / r) * (gu_x - ur / r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
+        F2_1 = (mu / r) * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
+
+        inv_tau = 1.0 / tau
+        for q in range(9):
+            e0, e1 = float(E[q, 0]), float(E[q, 1])
+            Gq = (A1 + A2 + (e0 * F2_0 + e1 * F2_1) / CS2) * float(W_Q[q])
+            collided = fq[q] + inv_tau * (feq_n[q] - fq[q]) + Gq
+            f_out[q] = jnp.where(is_obs, fq[q], collided)
+
+    return kernel
+
+
+def _cfg_consts(cfg) -> dict:
+    H, W = cfg.eff_res
+    return dict(
+        H=H, W=W,
+        tau=float(cfg.tau),
+        vel_obs=float(cfg.vel_obs),
+        rg=float(cfg.Rg_radius),
+        box_r=float(cfg.box_radius),
+        inflow_h=float(cfg.inflow_height),
+        fy=float(-cfg.gravity_strength),
+        flat=cfg.shape in ("cylinder", "infiniteplane"),
+    )
+
+
+def _specs(H, W, TH):
+    n = H // TH
+
+    def mid(i):
+        return i
+
+    def up(i):
+        return jax.lax.rem(i - 1 + n, n)
+
+    def dn(i):
+        return jax.lax.rem(i + 1, n)
+
+    def b2(im):
+        return pl.BlockSpec((TH, W), lambda i, im=im: (im(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def b3(im, c=9):
+        return pl.BlockSpec((c, TH, W), lambda i, im=im: (0, im(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    return mid, up, dn, b2, b3
+
+
+def _one_tiled_step(f, rho, vel, step_scalar, cfg_key, TH):
+    cfg_c = dict(cfg_key)
+    H, W = cfg_c["H"], cfg_c["W"]
+    n = H // TH
+    f32 = jnp.float32
+    mid, up, dn, b2, b3 = _specs(H, W, TH)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    step_arr = step_scalar.reshape(1, 1)
+
+    ka = _make_kernel_a(cfg_c, TH, lambda i: i)
+    f1, rho1, vel1 = pl.pallas_call(
+        ka,
+        grid=(n,),
+        in_specs=[smem, b3(up), b3(mid), b3(dn), b3(up, 2), b3(mid, 2),
+                  b3(dn, 2), b2(mid)],
+        out_specs=[b3(mid), b2(mid), b3(mid, 2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((2, H, W), f32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+    )(step_arr, f, f, f, vel, vel, vel, rho)
+
+    kb = _make_kernel_b(cfg_c, TH, lambda i: i)
+    f2 = pl.pallas_call(
+        kb,
+        grid=(n,),
+        in_specs=[smem, b3(mid), b2(up), b2(mid), b2(dn), b3(up, 2),
+                  b3(mid, 2), b3(dn, 2)],
+        out_specs=b3(mid),
+        out_shape=jax.ShapeDtypeStruct((9, H, W), f32),
+        compiler_params=_VMEM_PARAMS,
+    )(step_arr, f1, rho1, rho1, rho1, vel1, vel1, vel1)
+    return f2, rho1, vel1
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "TH", "k"))
+def _tiled_chunk(f, rho, vel, start_step, cfg_key, TH, k):
+    """k steps as one XLA program (2k pallas calls, 1 dispatch)."""
+    step = jnp.asarray(start_step, jnp.float32)
+    for j in range(k):
+        f, rho, vel = _one_tiled_step(f, rho, vel, step + float(j), cfg_key, TH)
+    return f, rho, vel
+
+
+def pick_tile_rows(cfg) -> int:
+    H, _ = cfg.eff_res
+    for TH in (64, 32, 16, 8):
+        if H % TH == 0 and H // TH >= 3:
+            return TH
+    raise ValueError(f"H={H} not tileable (need H % 8 == 0, >= 3 tiles)")
+
+
+def make_tiled_fluid_runner(cfg, tile_rows: int | None = None,
+                            unroll: int = 8):
+    """Drop-in replacement for `models.jrl.make_fluid_runner` at sizes
+    beyond the whole-domain fused kernel's VMEM budget. Same signature
+    (state, fields, start_step, n); dispatches ceil(n/unroll) XLA
+    programs of `unroll` fused steps each."""
+    TH = tile_rows if tile_rows is not None else pick_tile_rows(cfg)
+    cfg_key = tuple(sorted(_cfg_consts(cfg).items()))
+
+    def run(state, fields, start_step, n: int):
+        del fields
+        f, rho, vel = state["f"], state["rho"], state["vel"]
+        s = int(start_step)
+        end = s + int(n)
+        while s < end:
+            k = min(unroll, end - s)
+            f, rho, vel = _tiled_chunk(f, rho, vel, float(s), cfg_key, TH, k)
+            s += k
+        return {"f": f, "rho": rho, "vel": vel}
+
+    return run

@@ -29,7 +29,9 @@ def _compare(cfg, n_steps, tile_rows, split):
         np.testing.assert_allclose(a[mask], b[mask], rtol=tol, atol=tol)
 
 
-@pytest.mark.parametrize("tile_rows", [8, 16])
+@pytest.mark.parametrize(
+    "tile_rows", [8, pytest.param(16, marks=pytest.mark.slow)]
+)
 def test_fused_generic_matches_unfused_interpret(tile_rows):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -42,7 +44,9 @@ def test_fused_generic_matches_unfused_interpret(tile_rows):
     "res,center,interior_rows",
     [
         ((96, 32), (16.0, 48.0), 16),   # T=16 interior tiles, BT=8 band
-        ((256, 32), (16.0, 128.0), 32),  # T=32 with 8-row halo blocks
+        pytest.param(  # T=32 with 8-row halo blocks
+            (256, 32), (16.0, 128.0), 32, marks=pytest.mark.slow
+        ),
     ],
 )
 def test_fused_split_matches_unfused_interpret(res, center, interior_rows):

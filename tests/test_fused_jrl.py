@@ -24,7 +24,9 @@ def _run_unfused(cfg, n):
     return state, fields
 
 
-@pytest.mark.parametrize("shape", ["cylinder", "45degree"])
+@pytest.mark.parametrize(
+    "shape", [pytest.param("cylinder", marks=pytest.mark.slow), "45degree"]
+)
 def test_fused_jrl_fluid_matches_unfused(shape):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -142,6 +144,7 @@ def test_fused_approach_matches_unfused(shape, is_negative, Pe):
         )
 
 
+@pytest.mark.slow
 def test_fused_jrl_runner_contract():
     """Runner rejects grids over the VMEM budget; accepts chunked calls
     (start_step continuation) equivalently to one long call."""

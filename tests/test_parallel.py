@@ -100,14 +100,14 @@ def test_sharded_cylinder_step_matches_unsharded(mesh_shape):
     state, fields = cyl.init(cfg)
     _assert_coupling_mask_nonempty(fields)
     run_ref = cyl.make_runner(cfg)
-    ref = run_ref(state, fields, 20)
+    ref = run_ref(state, fields, 12)
 
     mesh = make_mesh(mesh_shape)
     sstate, sfields = shard_state(state, fields, mesh)
     run_sh = make_sharded_cylinder_runner(cfg, mesh)
-    out = run_sh(sstate, sfields, 20)
+    out = run_sh(sstate, sfields, 12)
 
-    # 20 steps of accumulated last-ulp fusion differences stay tiny
+    # 12 steps of accumulated last-ulp fusion differences stay tiny
     np.testing.assert_allclose(
         np.asarray(out["f"]), np.asarray(ref["f"]), rtol=1e-4, atol=1e-6
     )
@@ -150,12 +150,12 @@ def test_sharded_jrl_fluid_matches_unsharded(mesh_shape):
     )
     state, fields = jrl.fluid_init(cfg)
     run_ref = jrl.make_fluid_runner(cfg)
-    ref = run_ref(state, fields, jnp.asarray(0, jnp.int32), 25)
+    ref = run_ref(state, fields, jnp.asarray(0, jnp.int32), 15)
 
     mesh = make_mesh(mesh_shape)
     sstate, sfields = shard_jrl_state(state, fields, mesh)
     run_sh = make_sharded_jrl_fluid_runner(cfg, mesh)
-    out = run_sh(sstate, sfields, jnp.asarray(0, jnp.int32), 25)
+    out = run_sh(sstate, sfields, jnp.asarray(0, jnp.int32), 15)
 
     np.testing.assert_allclose(
         np.asarray(out["f"]), np.asarray(ref["f"]), rtol=1e-4, atol=1e-6
@@ -253,12 +253,12 @@ def test_sharded_fused_cylinder_matches_unsharded():
     state, fields = cyl.init(cfg)
     _assert_coupling_mask_nonempty(fields)
     run_ref = cyl.make_runner(cfg)
-    ref = jax.tree.map(np.asarray, run_ref(state, fields, 10))
+    ref = jax.tree.map(np.asarray, run_ref(state, fields, 6))
 
     mesh = make_mesh((2, 4))
     sstate, sfields = shard_state(state, fields, mesh)
     run_sh = make_sharded_fused_cylinder_runner(cfg, mesh, interpret=True)
-    out = run_sh(sstate, sfields, 10)
+    out = run_sh(sstate, sfields, 6)
 
     # like tests/test_fused.py: the fused kernels skip the contact-angle
     # rho rewrite at OBSTACLE cells (dynamics-neutral: nothing reads

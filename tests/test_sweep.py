@@ -4,6 +4,7 @@ import dataclasses
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from jrl_lbm_tpu.models import jrl
 from jrl_lbm_tpu.parallel import sweep
@@ -53,6 +54,7 @@ def _serial_records(cfg, state, fields):
     return np.asarray(rows, np.float32)
 
 
+@pytest.mark.slow
 def test_pe_sweep_matches_serial():
     ccfg, state, fields = _setup()
     Pes = [2.0, 5.0]
