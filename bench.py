@@ -29,6 +29,7 @@ def main():
     from jrl_lbm_tpu.models import cylinder as cyl
 
     use_fused = os.environ.get("LBM_BENCH_FUSED", "1") != "0"
+    bf16_dev = os.environ.get("LBM_F_STORAGE", "f32") == "bf16_dev"
     cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
     state, fields = cyl.init(cfg)
     run = None
@@ -36,7 +37,9 @@ def main():
         try:
             from jrl_lbm_tpu.ops.pallas import fused_step as fs
 
-            run = fs.make_fused_cylinder_runner(cfg)
+            run = fs.make_fused_cylinder_runner(cfg, bf16_dev=bf16_dev)
+            if bf16_dev:
+                state = dict(state, f=fs.f_to_storage(state["f"], True))
         except Exception as e:  # fall back to the reference jnp path
             print(f"fused path unavailable ({e}); using jnp path", file=sys.stderr)
     if run is None:

@@ -71,14 +71,52 @@ def _feq_terms(rho, ux, uy):
     return out
 
 
-def _mrt_apply(A, fb, feq_n, is_obs, f_out):
-    """Unrolled M^-1 S M relaxation + obstacle passthrough."""
+def _mrt_apply(A, fb, feq_n, is_obs, f_out, st=None):
+    """Unrolled M^-1 S M relaxation + obstacle passthrough. ``st(val, q)``
+    converts to the storage format (bf16 deviation) before the write."""
     d = [feq_n[q] - fb[q] for q in range(9)]
     for a in range(9):
         omega = A[a][0] * d[0]
         for b in range(1, 9):
             omega = omega + A[a][b] * d[b]
-        f_out[a] = jnp.where(is_obs, fb[a], fb[a] + omega)
+        val = jnp.where(is_obs, fb[a], fb[a] + omega)
+        f_out[a] = val if st is None else st(val, a)
+
+
+# --- bf16 deviation storage (docs/PERFORMANCE.md bf16 experiment) -----------
+# f populations sit near the lattice weights (rho ~ 1, u << 1), so raw
+# bf16 would put its ~0.4% relative noise on O(0.1..0.45) values. Storing
+# the DEVIATION g_q = f_q - w_q instead keeps the stored magnitudes at
+# O(rho-1, u) ~ 1e-2, recovering ~1.5 decimal digits. The weight shift
+# commutes with streaming (w_q is constant per plane and w[REFL[q]] ==
+# w[q]), so load = g + w_q, store = f - w_q, everything else unchanged.
+
+def _mk_ld_st(bf16_dev):
+    if not bf16_dev:
+        return (lambda x, q: x), None
+
+    def ld(x, q):
+        return x.astype(jnp.float32) + float(W_Q[q])
+
+    def st(x, q):
+        return (x - float(W_Q[q])).astype(jnp.bfloat16)
+
+    return ld, st
+
+
+def f_to_storage(f, bf16_dev: bool):
+    """State-prep: convert an f32 f to the kernel storage format."""
+    if not bf16_dev:
+        return f
+    w = jnp.asarray(W_Q, jnp.float32)[:, None, None]
+    return (f - w).astype(jnp.bfloat16)
+
+
+def f_from_storage(g, bf16_dev: bool):
+    if not bf16_dev:
+        return g
+    w = jnp.asarray(W_Q, jnp.float32)[:, None, None]
+    return g.astype(jnp.float32) + w
 
 
 def _stitch(tp, mid, bt):
@@ -92,9 +130,10 @@ def _stitch(tp, mid, bt):
 # ---------------------------------------------------------------------------
 
 def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
-                      minv_s_m, has_inflow2, tile_map):
+                      minv_s_m, has_inflow2, tile_map, bf16_dev=False):
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
+    ld, st = _mk_ld_st(bf16_dev)
 
     def kernel(
         fl_tp, fl_m, fl_bt,
@@ -158,21 +197,22 @@ def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
         eps = 1e-10
         t_ok = (phi > -eps) & (phi <= 1.0 + eps)
 
-        f_pad = [_stitch(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]
+        f_pad = [ld(_stitch(f_tp[q], f_m[q], f_bt[q]), q) for q in range(9)]
+        f_mid = [ld(f_m[q], q) for q in range(9)]
         vel_pad = [_stitch(vel_tp[c], vel_m[c], vel_bt[c]) for c in range(2)]
         vel_x = vel_m[0]
         vel_y = vel_m[1]
 
         # ---- streaming with sub-grid interpolation bounce-back ----
-        raw_in = [f_m[0]]
+        raw_in = [f_mid[0]]
         for q in range(1, 9):
             ex, ey = int(E[q, 0]), int(E[q, 1])
             raw_in.append(pull(f_pad[q], ex, ey, "reflect"))
-        f_new = [f_m[0]]
+        f_new = [f_mid[0]]
         for q in range(1, 9):
             ex, ey = int(E[q, 0]), int(E[q, 1])
             nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
-            f_this = f_m[int(REFL[q])]
+            f_this = f_mid[int(REFL[q])]
             nxt = pull(f_pad[int(REFL[q])], -ex, -ey, "reflect")
             v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
             v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
@@ -273,7 +313,7 @@ def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
         u_x = jnp.where(is_obs, velx_after, mom_x / safe_rho)
         u_y = jnp.where(is_obs, vely_after, mom_y / safe_rho)
 
-        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out, st)
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
@@ -304,15 +344,17 @@ UP_Q = (2, 5, 6)
 DN_Q = (4, 7, 8)
 
 
-def _make_interior_kernel(W, TH, minv_s_m, wall_density):
+def _make_interior_kernel(W, TH, minv_s_m, wall_density, bf16_dev=False):
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+    ld, st = _mk_ld_st(bf16_dev)
 
     def kernel(
         f_m, up2, up5, up6, dn4, dn7, dn8,
         f_out, rho_out, vel_out,
     ):
-        up = {2: up2, 5: up5, 6: up6}
-        dn = {4: dn4, 7: dn7, 8: dn8}
+        up = {2: ld(up2[0], 2), 5: ld(up5[0], 5), 6: ld(up6[0], 6)}
+        dn = {4: ld(dn4[0], 4), 7: ld(dn7[0], 7), 8: ld(dn8[0], 8)}
+        fm = [ld(f_m[q], q) for q in range(9)]
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
         at_x0 = gx == 0
         at_xW = gx == W - 1
@@ -323,11 +365,11 @@ def _make_interior_kernel(W, TH, minv_s_m, wall_density):
         def pull(q):
             ex, ey = int(E[q, 0]), int(E[q, 1])
             if ey == 1:  # value from row y-1: halo row t0-1 + mid[:-1]
-                rows = jnp.concatenate([up[q][0, -1:, :], f_m[q][:-1, :]], axis=0)
+                rows = jnp.concatenate([up[q][-1:, :], fm[q][:-1, :]], axis=0)
             elif ey == -1:  # from row y+1: mid[1:] + halo row t0+TH
-                rows = jnp.concatenate([f_m[q][1:, :], dn[q][0, 0:1, :]], axis=0)
+                rows = jnp.concatenate([fm[q][1:, :], dn[q][0:1, :]], axis=0)
             else:
-                rows = f_m[q]
+                rows = fm[q]
             if ex == 0:
                 return rows
             base = pltpu.roll(rows, ex % W, axis=1)
@@ -337,15 +379,15 @@ def _make_interior_kernel(W, TH, minv_s_m, wall_density):
                 return jnp.where(at_x0, pltpu.roll(rows, W - 1, axis=1), base)
             return jnp.where(at_xW, pltpu.roll(rows, 1, axis=1), base)
 
-        raw_in = [f_m[0]] + [pull(q) for q in range(1, 9)]
+        raw_in = [fm[0]] + [pull(q) for q in range(1, 9)]
         f_new = [raw_in[0]]
         for q in range(1, 9):
             ex = int(E[q, 0])
             streamed = raw_in[q]
             if ex == 1:
-                streamed = jnp.where(nbr_lo, f_m[int(REFL[q])], streamed)
+                streamed = jnp.where(nbr_lo, fm[int(REFL[q])], streamed)
             elif ex == -1:
-                streamed = jnp.where(nbr_hi, f_m[int(REFL[q])], streamed)
+                streamed = jnp.where(nbr_hi, fm[int(REFL[q])], streamed)
             f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
 
         macro_rho = f_new[0]
@@ -358,7 +400,7 @@ def _make_interior_kernel(W, TH, minv_s_m, wall_density):
         u_x = jnp.where(is_obs, 0.0, mom_x / safe_rho)
         u_y = jnp.where(is_obs, 0.0, mom_y / safe_rho)
 
-        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out, st)
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
@@ -420,12 +462,12 @@ def _full_specs(H, W, TH, tile_map):
     jax.jit,
     static_argnames=(
         "H", "W", "T", "BT", "tau", "inflow_density", "inflow_vx", "inflow_vy",
-        "minv_s_m", "has_inflow2", "b0", "b1",
+        "minv_s_m", "has_inflow2", "b0", "b1", "bf16_dev",
     ),
 )
 def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
                       inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                      has_inflow2, b0, b1):
+                      has_inflow2, b0, b1, bf16_dev=False):
     """Two-call split: interior tiles of T rows (lean kernel, minimal
     halos), band tiles of BT rows (full-boundary kernel) covering
     interior-tile indices {0, b0..b1, n-1}. T and BT may differ (the
@@ -443,6 +485,7 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
         return jnp.where(i < c1, i + 1, i + gap)
 
     f32 = jnp.float32
+    fst = jnp.bfloat16 if bf16_dev else f32
 
     # ---- interior call (creates the output buffers) ----
     def ib2():
@@ -462,7 +505,8 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
             im = lambda i, q=q: (q, T8 * (int_map(i) + 1), 0)
         return pl.BlockSpec((1, 8, W), im, memory_space=pltpu.VMEM)
 
-    ik = _make_interior_kernel(W, T, minv_s_m, float(inflow_density))
+    ik = _make_interior_kernel(W, T, minv_s_m, float(inflow_density),
+                               bf16_dev=bf16_dev)
     f1, rho1, vel1 = pl.pallas_call(
         ik,
         grid=(n_int,),
@@ -471,7 +515,7 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
         + [halo(q, up=False) for q in DN_Q],
         out_specs=[ib3(), ib2(), ib3(2)],
         out_shape=[
-            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((9, H, W), fst),
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((2, H, W), f32),
         ],
@@ -496,7 +540,7 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
     n_band = 2 * TB + b_
     bk = _make_full_kernel(
         H, W, BT, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
-        has_inflow2, band_map,
+        has_inflow2, band_map, bf16_dev=bf16_dev,
     )
     in_specs, _ = _full_specs(H, W, BT, band_map)
     compact_out = [
@@ -510,7 +554,7 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
         in_specs=in_specs,
         out_specs=compact_out,
         out_shape=[
-            jax.ShapeDtypeStruct((9, n_band * BT, W), f32),
+            jax.ShapeDtypeStruct((9, n_band * BT, W), fst),
             jax.ShapeDtypeStruct((n_band * BT, W), f32),
             jax.ShapeDtypeStruct((2, n_band * BT, W), f32),
         ],
@@ -538,17 +582,18 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
     jax.jit,
     static_argnames=(
         "H", "W", "TH", "tau", "inflow_density", "inflow_vx", "inflow_vy",
-        "minv_s_m", "has_inflow2",
+        "minv_s_m", "has_inflow2", "bf16_dev",
     ),
 )
 def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
                         inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                        has_inflow2):
+                        has_inflow2, bf16_dev=False):
     n = H // TH
     f32 = jnp.float32
+    fst = jnp.bfloat16 if bf16_dev else f32
     k = _make_full_kernel(
         H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
-        has_inflow2, lambda i: i,
+        has_inflow2, lambda i: i, bf16_dev=bf16_dev,
     )
     in_specs, out_specs = _full_specs(H, W, TH, lambda i: i)
     return pl.pallas_call(
@@ -557,7 +602,7 @@ def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((9, H, W), fst),
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((2, H, W), f32),
         ],
@@ -565,7 +610,7 @@ def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
 
 
 def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
-                    interior_rows: int = 32):
+                    interior_rows: int = 32, bf16_dev: bool = False):
     """Fused-step function with the same (state, fields) API as
     `models.cylinder.make_step`. Assumes obs_vel == 0, force == 0, and
     initial wall rho == cfg.density / wall vel == 0 (all hold for the
@@ -596,12 +641,13 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
             f, rho_new, vel_new = _fused_step_split(
                 *common, H, W, T, tile_rows, float(cfg.tau),
                 float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
-                b0, b1,
+                b0, b1, bf16_dev=bf16_dev,
             )
         else:
             f, rho_new, vel_new = _fused_step_generic(
                 *common, H, W, tile_rows, float(cfg.tau),
                 float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
+                bf16_dev=bf16_dev,
             )
         return {"f": f, "rho": rho_new, "vel": vel_new}
 
@@ -609,14 +655,15 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
 
 
 def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
-                               interior_rows: int = 32):
+                               interior_rows: int = 32,
+                               bf16_dev: bool = False):
     """Runner advancing n steps by dispatching the jitted step per
     iteration. (Wrapping the two pallas calls in lax.fori_loop was
     measured ~5x slower: the while-loop carry forces XLA to copy the
     state buffers every iteration; per-step dispatch overhead is tiny by
     comparison at 2048^2.)"""
     step = make_fused_step(cfg, tile_rows, split=split,
-                           interior_rows=interior_rows)
+                           interior_rows=interior_rows, bf16_dev=bf16_dev)
 
     def run(state, fields, n: int):
         for _ in range(n):

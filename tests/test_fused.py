@@ -98,3 +98,44 @@ def test_fused_periodic_matches_unfused_interpret(collision, kbc_type):
     np.testing.assert_allclose(
         np.asarray(out["vel"]), np.asarray(ref["vel"]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_bf16_deviation_storage_close_to_f32():
+    """bf16 deviation-from-weight f storage tracks the f32 path.
+
+    Storage noise is ~0.4% relative on the O(Vmax) deviations, i.e.
+    ~2e-4 absolute per population per step at this scene's Vmax=0.05;
+    over 5 steps the fields must stay within a small absolute budget of
+    the f32 fused path.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    cfg = cyl.CylinderConfig(res=(64, 32), D=8.0, Re=500.0,
+                             cylinder_center=(16.0, 32.0))
+    state, fields = cyl.init(cfg)
+    n = 5
+
+    with pltpu.force_tpu_interpret_mode():
+        step32 = fs.make_fused_step(cfg, tile_rows=8, split=False)
+        ref = dict(state)
+        for _ in range(n):
+            ref = step32(ref, fields)
+
+        step16 = fs.make_fused_step(cfg, tile_rows=8, split=False,
+                                    bf16_dev=True)
+        out = dict(state, f=fs.f_to_storage(state["f"], True))
+        for _ in range(n):
+            out = step16(out, fields)
+        f16 = fs.f_from_storage(out["f"], True)
+
+    np.testing.assert_allclose(
+        np.asarray(f16), np.asarray(ref["f"]), atol=5e-4, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["vel"]), np.asarray(ref["vel"]), atol=2e-3, rtol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rho"]), np.asarray(ref["rho"]), atol=2e-3, rtol=0
+    )
