@@ -663,8 +663,13 @@ def pick_balance_runner(cfg: JRLCConfig, flags):
         try:
             from jrl_lbm_tpu.ops.pallas import fused_jrl
 
-            if fused_jrl.fits_vmem(cfg) and jax.devices()[0].platform != "cpu":
-                return fused_jrl.make_fused_balance_runner(cfg, flags)
+            if jax.devices()[0].platform != "cpu":
+                if fused_jrl.fits_vmem(cfg):
+                    return fused_jrl.make_fused_balance_runner(cfg, flags)
+                from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled
+
+                if cfg.eff_res[0] % 8 == 0:
+                    return fused_jrl_tiled.make_tiled_balance_runner(cfg, flags)
         except Exception:
             pass
     return make_balance_runner(cfg, flags)
@@ -711,8 +716,15 @@ def pick_approach_runner(cfg: JRLCConfig, vel_field):
         try:
             from jrl_lbm_tpu.ops.pallas import fused_jrl
 
-            if fused_jrl.fits_vmem(cfg) and jax.devices()[0].platform != "cpu":
-                return fused_jrl.make_fused_approach_runner(cfg, vel_field)
+            if jax.devices()[0].platform != "cpu":
+                if fused_jrl.fits_vmem(cfg):
+                    return fused_jrl.make_fused_approach_runner(cfg, vel_field)
+                from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled
+
+                if cfg.eff_res[0] % 8 == 0:
+                    return fused_jrl_tiled.make_tiled_approach_runner(
+                        cfg, vel_field
+                    )
         except Exception:
             pass
     base = make_approach_runner(cfg)

@@ -610,3 +610,421 @@ def make_tiled_fluid_runner(cfg, tile_rows: int | None = None,
         return {"f": f, "rho": rho, "vel": vel}
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Concentration (C) lattice: tiled balance + approach kernels.
+#
+# Unlike the fluid phase, the convection collision is LOCAL (the
+# axisymmetric advection-diffusion source `LBM_collision_2d.py:382-384`
+# has no stencils), so each step is ONE kernel with 1-row halos.
+# Reference: `demo_2d_LBM_JRL_C_*.py:230-253` (balance), `:294-385`
+# (approach with tip-disk integrals).
+# ---------------------------------------------------------------------------
+
+INFLOW = int(CellType.INFLOW)
+INFLOW_2 = int(CellType.INFLOW_2)
+
+
+def _c_cfg_consts(cfg) -> dict:
+    H, W = cfg.eff_res
+    return dict(
+        H=H, W=W,
+        tau_D=float(cfg.tau_D),
+        v=float(cfg.vel_obs_conv),
+        rg=float(cfg.Rg_radius),
+        box_r=float(cfg.box_radius),
+        inflow_h=float(cfg.inflow_height),
+        inflow_h_int=int(cfg.inflow_height_int),
+        rint=int(cfg.radius_obs_int),
+        flat=cfg.shape in ("cylinder", "infiniteplane"),
+        is_neg=bool(cfg.is_negative),
+        clamp=bool(cfg.clamp_C),
+    )
+
+
+def _stream_c(ctx, hq, h_pad, obs_pad, phi, flags, at_masks, cv=None):
+    """h streaming with flag BCs; shared by balance (phi=None, cv=None)
+    and approach (sub-grid bounce + INFLOW_2 feq with the local C_vel)."""
+    at_y0, at_yH, at_x0, at_xW = at_masks
+    TH, W = ctx.TH, ctx.W
+    is_obs = flags == OBSTACLE
+    in_mask = flags == INFLOW
+    in2_mask = flags == INFLOW_2
+    of_mask = flags == OUTFLOW
+
+    raw_in = [hq[0]] + [None] * 8
+    streamed = [hq[0]] + [None] * 8
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        val = ctx.pull(h_pad[q], ex, ey)
+        if q in AXIS_X_IN:
+            val = jnp.where(at_x0, ctx.pull(h_pad[int(MX[q])], ex, ey), val)
+        raw_in[q] = val
+        nbr_obs = ctx.pull(obs_pad, ex, ey) > 0.5
+        f_this = hq[int(REFL[q])]
+        if phi is None:
+            v_obs = f_this  # plain half-way bounce (balance: no phi)
+        else:
+            nxt = ctx.pull(h_pad[int(REFL[q])], -ex, -ey)
+            if q in AXIS_X_OUT:
+                oq = int(MX[q])
+                nxt = jnp.where(
+                    at_x0, ctx.pull(h_pad[int(REFL[oq])], -ex, -ey), nxt
+                )
+            tt = phi
+            v1 = (2.0 * tt - 1.0) * val + (2.0 - 2.0 * tt) * f_this
+            v2 = (2.0 * tt) * f_this + (1.0 - 2.0 * tt) * nxt
+            v_obs = jnp.where(
+                (tt >= 0.5) & (tt <= 1.0),
+                v1,
+                jnp.where((tt >= 0.0) & (tt <= 0.5), v2, f_this),
+            )
+        streamed[q] = jnp.where(nbr_obs, v_obs, val)
+
+    h_new = [hq[0]]
+    for p in range(1, 9):
+        h_new.append(jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p]))
+
+    # INFLOW: feq(0, u) == 0 sink; INFLOW_2: feq(1, C_vel) reservoir
+    if cv is None:
+        feq_in2 = [float(W_Q[q]) * jnp.ones((TH, W), jnp.float32)
+                   for q in range(9)]
+    else:
+        feq_in2 = _feq9(jnp.ones((TH, W), jnp.float32), cv[0], cv[1])
+    for q in range(9):
+        g = jnp.where(in_mask, 0.0, h_new[q])
+        h_new[q] = jnp.where(in2_mask, feq_in2[q], g)
+
+    # OUTFLOW: copy all 9 from the inward neighbour (within-tile)
+    for q in range(9):
+        g = h_new[q]
+        g = jnp.where(at_y0, pltpu.roll(g, TH - 1, axis=0), g)
+        g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+        g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+        g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+        h_new[q] = jnp.where(of_mask, g, h_new[q])
+    return h_new, in_mask, in2_mask, is_obs
+
+
+def _make_c_balance_kernel(cfg_c, TH):
+    """One balance step per tile: zero velocity, fixed flags."""
+    W = cfg_c["W"]
+    tau_D = cfg_c["tau_D"]
+    inv_tau = 1.0 / tau_D
+    rate_coef = 1.0 - 0.5 / tau_D
+
+    def kernel(fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk, h_out, c_out):
+        t0 = pl.program_id(0) * TH
+        H = cfg_c["H"]
+        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        at_masks = (gy == 0, gy == H - 1, gx == 0, gx == W - 1)
+        r = gx.astype(jnp.float32) + 0.5
+
+        flags = fl_m[:]
+        flags_pad = _stitch(fl_tp[:], fl_m[:], fl_bt[:])
+        obs_pad = (flags_pad == OBSTACLE).astype(jnp.float32)
+        is_fluid = flags == FLUID
+        ctx = _TileCtx(TH, W, *at_masks, is_fluid)
+
+        hq = [h_m[q] for q in range(9)]
+        h_pad = [_stitch(h_tp[q], h_m[q], h_bt[q]) for q in range(9)]
+        C = c_blk[:]
+
+        h_new, in_mask, in2_mask, is_obs = _stream_c(
+            ctx, hq, h_pad, obs_pad, None, flags, at_masks
+        )
+        C = jnp.where(in_mask, 0.0, C)
+        C = jnp.where(in2_mask, 1.0, C)
+
+        macro_C = h_new[0]
+        for q in range(1, 9):
+            macro_C = macro_C + h_new[q]
+        C_n = jnp.where(is_obs, C, macro_C)
+
+        # u = 0: feq = w_q C; Gi vanishes; per-direction axisymmetric rate
+        for q in range(9):
+            w_rate = inv_tau + rate_coef * float(E[q, 0]) / r
+            collided = h_new[q] + w_rate * (float(W_Q[q]) * C_n - h_new[q])
+            h_out[q] = jnp.where(is_obs, h_new[q], collided)
+        c_out[:] = C_n
+
+    return kernel
+
+
+def _make_c_approach_kernel(cfg_c, TH):
+    """One approach step per tile + per-tile partial disk integrals.
+
+    The stored-velocity frame pair is interpolated OUTSIDE the kernel
+    (per step, in jnp) and arrives as a plain [2, TH, W] mid-block; the
+    moving-tip geometry is analytic per tile (strict phi < 0, head-row
+    INFLOW sink — `C_ethaline:296-304`).
+    """
+    import math as _math
+
+    H, W = cfg_c["H"], cfg_c["W"]
+    tau_D = cfg_c["tau_D"]
+    inv_tau = 1.0 / tau_D
+    rate_coef = 1.0 - 0.5 / tau_D
+    v = cfg_c["v"]
+    rg = cfg_c["rg"]
+    box_r = cfg_c["box_r"]
+    inflow_h = cfg_c["inflow_h"]
+    inflow_h_int = cfg_c["inflow_h_int"]
+    rint = cfg_c["rint"]
+    flat = cfg_c["flat"]
+    is_neg = cfg_c["is_neg"]
+
+    def tip(gy, gx, walks, walks_int, base):
+        xs = gx.astype(jnp.float32) + 0.5
+        ys = gy.astype(jnp.float32) + 0.5
+        tx = (xs - (rg - box_r)) - box_r
+        ty = (ys - (walks - box_r)) - box_r
+        ty_top = -(ys - float(H))
+        if flat:
+            phi = jnp.maximum(tx, ty)
+            if is_neg:
+                phi = jnp.minimum(phi, ty_top)
+            obs = (gy < walks_int) & (gx < jnp.int32(rg))
+        else:
+            align = (xs + ys - (rg + walks)) * (1.0 / jnp.sqrt(2.0))
+            phi = jnp.maximum(ty, align)
+            if is_neg:
+                phi = jnp.minimum(phi, ty_top)
+            obs = (phi < 0) | ((gy < inflow_h_int) & (gx < jnp.int32(rg)))
+        flags = jnp.where(obs, OBSTACLE, base)
+        head = (gy == walks_int - 1) & (gx < rint)
+        return jnp.where(head, INFLOW, flags), phi
+
+    def kernel(step_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk, vel_m,
+               h_out, c_out, acc_out):
+        t0 = pl.program_id(0) * TH
+        step_idx = step_ref[0, 0]
+        walks = inflow_h + step_idx * v
+        walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
+
+        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        at_masks = (gy == 0, gy == H - 1, gx == 0, gx == W - 1)
+        gy_p = jax.lax.rem(
+            t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0) + H, H
+        )
+        gx_p = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
+        r = gx.astype(jnp.float32) + 0.5
+        area_w = jnp.where(
+            gx < rint, _math.pi * (2.0 * gx.astype(jnp.float32) + 1.0), 0.0
+        )
+
+        flags, phi = tip(gy, gx, walks, walks_int, fl_m[:])
+        flags_pad, _ = tip(
+            gy_p, gx_p, walks, walks_int, _stitch(fl_tp[:], fl_m[:], fl_bt[:])
+        )
+        obs_pad = (flags_pad == OBSTACLE).astype(jnp.float32)
+        is_fluid = flags == FLUID
+        ctx = _TileCtx(TH, W, *at_masks, is_fluid)
+
+        C = c_blk[:]
+        C = jnp.where(flags == OBSTACLE, 0.0, C)
+
+        # C_vel from the (host-interpolated) stored velocity
+        tip_block = (gy < walks_int) & (gx < jnp.int32(rg))
+        cv0 = jnp.where(tip_block, 0.0, vel_m[0] * v)
+        cv1 = jnp.where(tip_block, v, vel_m[1] * v)
+
+        hq = [h_m[q] for q in range(9)]
+        h_pad = [_stitch(h_tp[q], h_m[q], h_bt[q]) for q in range(9)]
+        h_new, in_mask, in2_mask, is_obs = _stream_c(
+            ctx, hq, h_pad, obs_pad, phi, flags, at_masks, cv=(cv0, cv1)
+        )
+        C = jnp.where(in_mask, 0.0, C)
+        C = jnp.where(in2_mask, 1.0, C)
+
+        macro_C = h_new[0]
+        for q in range(1, 9):
+            macro_C = macro_C + h_new[q]
+        C_n = jnp.where(is_obs, C, macro_C)
+        if cfg_c["clamp"]:
+            C_n = jnp.clip(C_n, 0.0, 1.0)
+
+        feq_n = _feq9(C_n, cv0, cv1)
+        ur = cv0
+        for q in range(9):
+            s_q = rate_coef * float(E[q, 0]) / r
+            w_rate = inv_tau + s_q
+            Gq = -(ur / r) * feq_n[q] * (1.0 - 0.5 / tau_D - 0.5 * s_q)
+            collided = h_new[q] + w_rate * (feq_n[q] - h_new[q]) + Gq
+            h_out[q] = jnp.where(is_obs, h_new[q], collided)
+        c_out[:] = C_n
+
+        # per-tile partial integrals (`C_ethaline:364-385`; flat flux form
+        # `C_cylinder:344-358`) -> lanes 0..3 of this tile's acc row
+        if flat:
+            Cm1 = pltpu.roll(C_n, 1, axis=0)
+            # row walks_int is never in tile row 0 in practice (the tip
+            # starts ~20 rows in); the roll wrap would only matter there
+            rC = (gx.astype(jnp.float32) + 0.5) * C_n
+            rC_next = pltpu.roll(rC, W - 1, axis=1)
+            integ = ((C_n - Cm1) + (rC_next - rC) / r) * area_w
+        else:
+            integ = C_n * area_w
+        row_in = (gy == walks_int).astype(jnp.float32)
+        row_cur = (gy == walks_int + 1).astype(jnp.float32)
+        new_inflow = jnp.sum(integ * row_in)
+        new_current = jnp.sum(integ * row_cur)
+        rec_u = jnp.sum(cv0 * area_w * row_cur)
+        rec_v = jnp.sum(cv1 * area_w * row_cur)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        acc_out[:] = (
+            jnp.where(lane == 0, new_inflow, 0.0)
+            + jnp.where(lane == 1, new_current, 0.0)
+            + jnp.where(lane == 2, rec_u, 0.0)
+            + jnp.where(lane == 3, rec_v, 0.0)
+        )
+
+    return kernel
+
+
+def _c_one_balance_step(h, C, flags, cfg_key, TH):
+    cfg_c = dict(cfg_key)
+    H, W = cfg_c["H"], cfg_c["W"]
+    n = H // TH
+    f32 = jnp.float32
+    _, up, dn, b2, b3 = _specs(H, W, TH)
+    mid = lambda i: i  # noqa: E731
+    k = _make_c_balance_kernel(cfg_c, TH)
+    return pl.pallas_call(
+        k,
+        grid=(n,),
+        in_specs=[b2(up), b2(mid), b2(dn), b3(up), b3(mid), b3(dn), b2(mid)],
+        out_specs=[b3(mid), b2(mid)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+    )(flags, flags, flags, h, h, h, C)
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "TH", "k"))
+def _c_balance_chunk(h, C, flags, cfg_key, TH, k):
+    for _ in range(k):
+        h, C = _c_one_balance_step(h, C, flags, cfg_key, TH)
+    return h, C
+
+
+def make_tiled_balance_runner(cfg, flags, tile_rows: int | None = None,
+                              unroll: int = 8):
+    """Drop-in replacement for `models.jrl.make_balance_runner` beyond
+    the whole-domain VMEM budget."""
+    TH = tile_rows if tile_rows is not None else pick_tile_rows(cfg)
+    cfg_key = tuple(sorted(_c_cfg_consts(cfg).items()))
+
+    def run(state, fields, n: int):
+        del fields
+        h, C = state["h"], state["C"]
+        s = 0
+        while s < int(n):
+            k = min(unroll, int(n) - s)
+            h, C = _c_balance_chunk(h, C, flags, cfg_key, TH, k)
+            s += k
+        return {"C": C, "h": h}
+
+    return run
+
+
+def _c_one_approach_step(h, C, base_flags, vel_field, step_scalar,
+                         cfg_key, TH, n_frames):
+    cfg_c = dict(cfg_key)
+    H, W = cfg_c["H"], cfg_c["W"]
+    n = H // TH
+    f32 = jnp.float32
+    _, up, dn, b2, b3 = _specs(H, W, TH)
+    mid = lambda i: i  # noqa: E731
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    # stored-velocity interpolation in tip-position space (jnp, outside
+    # the kernel; `models/jrl.py::make_approach_step`)
+    v = cfg_c["v"]
+    x_interval = 0.1
+    x_comp = step_scalar * v
+    b = jnp.clip(jnp.floor(x_comp / x_interval), 0.0, float(n_frames - 1))
+    t = x_comp / x_interval - b
+    bi = b.astype(jnp.int32)
+    v0 = jax.lax.dynamic_index_in_dim(vel_field, bi, axis=0, keepdims=False)
+    v1 = jax.lax.dynamic_index_in_dim(
+        vel_field, jnp.minimum(bi + 1, n_frames - 1), axis=0, keepdims=False
+    )
+    vel = jnp.where(b + 1.0 < float(n_frames), v0 * (1.0 - t) + v1 * t, v0)
+
+    kacc = pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    k = _make_c_approach_kernel(cfg_c, TH)
+    h2, C2, acc = pl.pallas_call(
+        k,
+        grid=(n,),
+        in_specs=[smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid), b3(dn),
+                  b2(mid), b3(mid, 2)],
+        out_specs=[b3(mid), b2(mid), kacc],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((n, 128), f32),
+        ],
+        compiler_params=_VMEM_PARAMS,
+    )(step_scalar.reshape(1, 1), base_flags, base_flags, base_flags,
+      h, h, h, C, vel)
+    sums = jnp.sum(acc, axis=0)
+    return h2, C2, (sums[0], sums[1], sums[2], sums[3])
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "TH", "k", "n_frames"))
+def _c_approach_chunk(h, C, base_flags, vel_field, start_step, acc0,
+                      cfg_key, TH, k, n_frames):
+    infl, curr, ru, rv, cnt = acc0
+    step = jnp.asarray(start_step, jnp.float32)
+    for j in range(k):
+        h, C, (i_, c_, u_, v_) = _c_one_approach_step(
+            h, C, base_flags, vel_field, step + float(j), cfg_key, TH,
+            n_frames,
+        )
+        infl = infl + i_
+        curr = curr + c_
+        ru, rv = u_, v_
+        cnt = cnt + 1.0
+    return h, C, (infl, curr, ru, rv, cnt)
+
+
+def make_tiled_approach_runner(cfg, vel_field, tile_rows: int | None = None,
+                               unroll: int = 8):
+    """Drop-in replacement for `models.jrl.make_approach_runner` beyond
+    the whole-domain VMEM budget. Same (state, fields, start_step, n) ->
+    (state, acc) contract; `fields` must carry `base_flags`."""
+    TH = tile_rows if tile_rows is not None else pick_tile_rows(cfg)
+    cfg_key = tuple(sorted(_c_cfg_consts(cfg).items()))
+    frames = jnp.asarray(vel_field, jnp.float32)
+    n_frames = int(frames.shape[0])
+
+    def run(state, fields, start_step, n: int):
+        h, C = state["h"], state["C"]
+        base_flags = fields["base_flags"]
+        z = jnp.zeros((), jnp.float32)
+        acc = (z, z, z, z, z)
+        s = int(start_step)
+        end = s + int(n)
+        while s < end:
+            k = min(unroll, end - s)
+            h, C, acc = _c_approach_chunk(
+                h, C, base_flags, frames, float(s), acc, cfg_key, TH, k,
+                n_frames,
+            )
+            s += k
+        acc_d = {
+            "inflow_sum": acc[0],
+            "current_sum": acc[1],
+            "count": acc[4],
+            "rec_u": acc[2],
+            "rec_v": acc[3],
+        }
+        return ({"C": C, "h": h}, acc_d)
+
+    return run

@@ -47,3 +47,62 @@ def test_tiled_jrl_fluid_matches_unfused(shape):
         np.testing.assert_allclose(
             out[key], ref[key], rtol=tol, atol=tol, err_msg=f"{shape}:{key}"
         )
+
+
+@pytest.mark.parametrize("shape", ["45degree", "cylinder"])
+def test_tiled_c_balance_matches_unfused(shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled as tiled
+
+    cfg = jrl.JRLCConfig(res=(48, 32), Re=4.0, Pe=5.0, shape=shape)
+    state, fields, flags = jrl.c_init(cfg)
+    run_ref = jrl.make_balance_runner(cfg, flags)
+    ref = jax.tree.map(np.asarray, run_ref(state, fields, 12))
+
+    run = tiled.make_tiled_balance_runner(cfg, flags, tile_rows=8, unroll=4)
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.tree.map(np.asarray, run(state, fields, 12))
+
+    np.testing.assert_allclose(out["C"], ref["C"], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(out["h"], ref["h"], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", ["45degree", "cylinder"])
+def test_tiled_c_approach_matches_unfused(shape):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled as tiled
+
+    cfg = jrl.JRLCConfig(res=(48, 32), Re=4.0, Pe=5.0, shape=shape)
+    state, fields, _flags = jrl.c_init(cfg)
+    rng = np.random.default_rng(11)
+    vel_field = jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=(4, 2, 48, 32)).astype(np.float32)
+    )
+    fields = dict(fields)
+    fields["vel_field"] = vel_field
+
+    run_ref = jrl.make_approach_runner(cfg)
+    ref_state, ref_acc = run_ref(state, fields, jnp.asarray(0, jnp.int32), 10)
+    ref_state = jax.tree.map(np.asarray, ref_state)
+    ref_acc = jax.tree.map(np.asarray, ref_acc)
+
+    run = tiled.make_tiled_approach_runner(cfg, vel_field, tile_rows=8,
+                                           unroll=4)
+    with pltpu.force_tpu_interpret_mode():
+        out_state, out_acc = run(state, fields, 0, 10)
+        out_state = jax.tree.map(np.asarray, out_state)
+        out_acc = jax.tree.map(np.asarray, out_acc)
+
+    np.testing.assert_allclose(
+        out_state["C"], ref_state["C"], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        out_state["h"], ref_state["h"], rtol=2e-5, atol=2e-5
+    )
+    for key in ("inflow_sum", "current_sum", "count", "rec_u", "rec_v"):
+        np.testing.assert_allclose(
+            float(out_acc[key]), float(ref_acc[key]), rtol=2e-4, atol=1e-4,
+            err_msg=f"{shape}:{key}",
+        )
