@@ -37,21 +37,29 @@ CASES = {
     # shedding period in steps doubles -> sample every 100
     "refine": dict(res=(3200, 1600), Re=10000.0, D=40.0,
                    cylinder_center=(800.0, 400.0), warmup=300000, every=100),
+    # bf16 deviation-storage physics gate: identical physics to the 2.5%
+    # lowblock case; St/Cd must match the f32 run
+    "b025_bf16": dict(res=(1600, 800), Re=10000.0, D=20.0,
+                      cylinder_center=(400.0, 200.0), warmup=150000,
+                      every=50, bf16_dev=True),
 }
 
 
 def main(case: str):
     p = CASES[case]
     warmup, every = p.pop("warmup"), p.pop("every")
+    bf16_dev = p.pop("bf16_dev", False)
     cfg = cyl.CylinderConfig(**p)
     nu = (cfg.tau - 0.5) / 3.0
     re_d = cfg.Vmax * cfg.D / nu
     blockage = cfg.D / cfg.res[1]
     print(f"case={case} tau={cfg.tau} Re_D_nominal={re_d:.0f} "
-          f"blockage={blockage:.4f}", flush=True)
+          f"blockage={blockage:.4f} bf16_dev={bf16_dev}", flush=True)
     state, fields = cyl.init(cfg)
     state = perturb_wake(state, cfg)
-    run = fs.make_fused_cylinder_runner(cfg)
+    run = fs.make_fused_cylinder_runner(cfg, bf16_dev=bf16_dev)
+    if bf16_dev:
+        state = dict(state, f=fs.f_to_storage(state["f"], True))
 
     n_samples = 1000
     state = run(state, fields, warmup)
@@ -63,7 +71,9 @@ def main(case: str):
     px, py = int(cx), int(cy + 4 * cfg.D)
     for k in range(n_samples):
         state = run(state, fields, every)
-        fx, fy = cyl.drag_lift(state, fields, cfg)
+        dstate = (dict(state, f=fs.f_from_storage(state["f"], True))
+                  if bf16_dev else state)
+        fx, fy = cyl.drag_lift(dstate, fields, cfg)
         lifts.append((float(fx), float(fy)))
         probes.append(float(state["vel"][0, py, px]))
         if k % 200 == 0:
