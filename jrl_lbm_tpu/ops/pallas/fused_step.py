@@ -344,14 +344,12 @@ UP_Q = (2, 5, 6)
 DN_Q = (4, 7, 8)
 
 
-def _make_interior_kernel(W, TH, minv_s_m, wall_density, bf16_dev=False):
+def _make_interior_kernel(W, TH, minv_s_m, wall_density, bf16_dev=False,
+                          write_macro=True):
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     ld, st = _mk_ld_st(bf16_dev)
 
-    def kernel(
-        f_m, up2, up5, up6, dn4, dn7, dn8,
-        f_out, rho_out, vel_out,
-    ):
+    def kernel(f_m, up2, up5, up6, dn4, dn7, dn8, f_out, *macro_out):
         up = {2: ld(up2[0], 2), 5: ld(up5[0], 5), 6: ld(up6[0], 6)}
         dn = {4: ld(dn4[0], 4), 7: ld(dn7[0], 7), 8: ld(dn8[0], 8)}
         fm = [ld(f_m[q], q) for q in range(9)]
@@ -401,6 +399,311 @@ def _make_interior_kernel(W, TH, minv_s_m, wall_density, bf16_dev=False):
         u_y = jnp.where(is_obs, 0.0, mom_y / safe_rho)
 
         _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out, st)
+        if write_macro:
+            rho_out, vel_out = macro_out
+            rho_out[:] = rho_n
+            vel_out[0] = u_x
+            vel_out[1] = u_y
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Temporal blocking (k=2): two lattice steps per kernel pass.
+#
+# The skip-macro experiment measured writes at ~25-30% of the fused step
+# (docs/PERFORMANCE.md): running TWO steps inside one kernel halves the
+# per-step f write AND read traffic. The classic overlapped scheme: a
+# tile computes step 1 on its rows +-1 extended rows in-register (the
+# extended rows are recomputed redundantly by the neighbouring tile, the
+# cost is ~(T+2)/T compute), then step 2 on its own rows.
+#
+# Requirements (all hold for the cylinder split geometry):
+# * interior tiles' extended rows and their pull range (+-3 rows of the
+#   tile) must be plain-channel rows — the band's 4-row cylinder margin
+#   provides exactly this cushion (see _band_tiles);
+# * band tiles get their 2-deep halos for free (they already load whole
+#   +-BT-row neighbour blocks); phi needs +-1 halo blocks (new inputs);
+# * step-1 values computed on a tile's extended rows must equal what the
+#   OWNING tile computes for them: both kernels run the same arithmetic
+#   in the same order on plain rows, so the redundant computation is
+#   bitwise-consistent;
+# * OBSTACLE rho is time-invariant at its initial value (cfg.density)
+#   in this kernel family (contact-angle extrapolation skipped), so the
+#   step-1 obstacle rho passthrough is a scalar — no rho input.
+# ---------------------------------------------------------------------------
+
+
+def _lean_step_rows(fp, R, W, A, wall_density, feq_in_unused=None):
+    """One plain-channel step (wall columns at x=0/W-1, everything else
+    FLUID) on R rows, given 9 padded (R+2, W) planes. Returns
+    (f_new_postcollide, rho, ux, uy) as lists/planes of R rows. Same
+    arithmetic, in the same order, as `_make_interior_kernel`."""
+    gx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    is_obs = at_x0 | at_xW
+    nbr_lo = gx == 1
+    nbr_hi = gx == W - 2
+
+    def mid(q):
+        return fp[q][1 : 1 + R, :]
+
+    def pull(q):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        rows = fp[q][1 - ey : 1 - ey + R, :]
+        if ex == 0:
+            return rows
+        base = pltpu.roll(rows, ex % W, axis=1)
+        if ex == 1:
+            return jnp.where(at_x0, pltpu.roll(rows, W - 1, axis=1), base)
+        return jnp.where(at_xW, pltpu.roll(rows, 1, axis=1), base)
+
+    raw_in = [mid(0)] + [pull(q) for q in range(1, 9)]
+    f_new = [raw_in[0]]
+    for q in range(1, 9):
+        ex = int(E[q, 0])
+        streamed = raw_in[q]
+        if ex == 1:
+            streamed = jnp.where(nbr_lo, mid(int(REFL[q])), streamed)
+        elif ex == -1:
+            streamed = jnp.where(nbr_hi, mid(int(REFL[q])), streamed)
+        f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
+
+    macro_rho = f_new[0]
+    for q in range(1, 9):
+        macro_rho = macro_rho + f_new[q]
+    rho_n = jnp.where(is_obs, wall_density, macro_rho)
+    mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+    mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    u_x = jnp.where(is_obs, 0.0, mom_x / safe_rho)
+    u_y = jnp.where(is_obs, 0.0, mom_y / safe_rho)
+
+    f_out = [None] * 9
+    _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+    return f_out, rho_n, u_x, u_y
+
+
+def _make_interior_kernel2(W, T, minv_s_m, wall_density, write_macro=True):
+    """Two steps per pass on T-row interior tiles. Halo inputs are whole
+    (9, 8, W) neighbouring row-groups (step 2 needs step-1 values at +-1
+    rows, which mix all 9 populations — the 6-plane channel-split halo
+    of the k=1 kernel no longer suffices)."""
+    A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+
+    def kernel(f_m, up, dn, f_out, *macro_out):
+        fpad = [
+            jnp.concatenate([up[q][-2:, :], f_m[q], dn[q][:2, :]], axis=0)
+            for q in range(9)
+        ]  # (T+4, W): rows t0-2 .. t0+T+1
+        f1, _, _, _ = _lean_step_rows(fpad, T + 2, W, A, wall_density)
+        f2, rho_n, u_x, u_y = _lean_step_rows(f1, T, W, A, wall_density)
+        for q in range(9):
+            f_out[q] = f2[q]
+        if write_macro:
+            rho_out, vel_out = macro_out
+            rho_out[:] = rho_n
+            vel_out[0] = u_x
+            vel_out[1] = u_y
+
+    return kernel
+
+
+def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
+                    tau, inflow_density, inflow_vx, inflow_vy,
+                    wall_density):
+    """One full-boundary step on R rows given (R+2, W) padded f/vel/flags
+    planes and an (R, W) phi block; gy0 = global row index of out-row 0.
+    Same arithmetic, in the same order, as `_make_full_kernel`, with the
+    OBSTACLE rho passthrough as the scalar `wall_density` (time-invariant
+    in this kernel family). Returns (f_new, rho, ux, uy)."""
+    gy = gy0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    gx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+    at_y0 = gy == 0
+    at_yH = gy == H - 1
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+
+    flags = flagsp[1 : 1 + R, :]
+    is_fluid = flags == FLUID
+    not_fluid = jnp.logical_not(is_fluid)
+    is_obs = flags == OBSTACLE
+    obs_pad = (flagsp == OBSTACLE).astype(jnp.float32)
+    eps = 1e-10
+    t_ok = (phi > -eps) & (phi <= 1.0 + eps)
+
+    def pull(plane_pad, ex, ey, style):
+        def rows(yoff):
+            return plane_pad[1 + yoff : 1 + yoff + R, :]
+
+        def shift_x(arr, xoff):
+            if xoff == 0:
+                return arr
+            return pltpu.roll(arr, (-xoff) % W, axis=1)
+
+        def cands(e_comp, lo_mask, hi_mask):
+            cs = [(None, -e_comp)]
+            if e_comp == 1:
+                cs.append((lo_mask & not_fluid, 1 if style == "reflect" else 0))
+            elif e_comp == -1:
+                cs.append((hi_mask & not_fluid, -1 if style == "reflect" else 0))
+            return cs
+
+        v = None
+        for my, yo in cands(ey, at_y0, at_yH):
+            for mx, xo in cands(ex, at_x0, at_xW):
+                patch = shift_x(rows(yo), xo)
+                if v is None:
+                    v = patch
+                    continue
+                m = mx if my is None else (my if mx is None else (mx & my))
+                v = jnp.where(m, patch, v)
+        return v
+
+    f_mid = [fp[q][1 : 1 + R, :] for q in range(9)]
+    raw_in = [f_mid[0]]
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        raw_in.append(pull(fp[q], ex, ey, "reflect"))
+    f_new = [f_mid[0]]
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
+        f_this = f_mid[int(REFL[q])]
+        nxt = pull(fp[int(REFL[q])], -ex, -ey, "reflect")
+        v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
+        v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
+        v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
+        streamed = jnp.where(nbr_obs, v_obs, raw_in[q])
+        f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
+
+    in_mask = flags == INFLOW
+    for q in range(9):
+        f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
+    rho_after = jnp.where(in_mask, inflow_density, wall_density)
+    velx_after = jnp.where(in_mask, inflow_vx, vxp[1 : 1 + R, :])
+    vely_after = jnp.where(in_mask, inflow_vy, vyp[1 : 1 + R, :])
+
+    of_mask = flags == OUTFLOW
+    for q in range(9):
+        g = f_new[q]
+        g = jnp.where(at_y0, pltpu.roll(g, R - 1, axis=0), g)
+        g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+        g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+        g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+        f_new[q] = jnp.where(of_mask, g, f_new[q])
+
+    skip = is_obs | at_xW | at_yH
+    rho_tgt = f_new[0]
+    for q in range(1, 9):
+        rho_tgt = rho_tgt + f_new[q]
+    vel_tgt_x = jnp.zeros((R, W), jnp.float32)
+    vel_tgt_y = jnp.zeros((R, W), jnp.float32)
+    count = jnp.zeros((R, W), jnp.float32)
+    valid = []
+    tq = jnp.where(t_ok, phi, 0.0)
+    for q in range(9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
+        v_q = nbr_obs & t_ok
+        valid.append(v_q)
+        vmask = v_q.astype(jnp.float32)
+        count = count + vmask
+        ux = pull(vxp, ex, ey, "minmax")
+        uy = pull(vyp, ex, ey, "minmax")
+        vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
+        vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
+    safe_count = jnp.where(count > 0, count, 1.0)
+    u0 = vel_tgt_x / safe_count
+    u1 = vel_tgt_y / safe_count
+
+    def grad12(plane_pad):
+        def at(sx, sy):
+            return pull(plane_pad, -sx, -sy, "minmax")
+
+        gxx = (
+            4.0 * (at(1, 0) - at(-1, 0))
+            + (at(1, 1) - at(-1, 1))
+            + (at(1, -1) - at(-1, -1))
+        ) / 12.0
+        gyy = (
+            4.0 * (at(0, 1) - at(0, -1))
+            + (at(1, 1) - at(1, -1))
+            + (at(-1, 1) - at(-1, -1))
+        ) / 12.0
+        return gxx, gyy
+
+    g00, g01 = grad12(vxp)
+    g10, g11 = grad12(vyp)
+
+    for q in range(9):
+        qi = int(REFL[q])
+        e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+        pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+        pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+        pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+        pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+        recon = float(W_Q[qi]) * rho_tgt * (
+            1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
+        )
+        mask = valid[q] & jnp.logical_not(skip)
+        f_new[qi] = jnp.where(mask, recon, f_new[qi])
+
+    macro_rho = f_new[0]
+    for q in range(1, 9):
+        macro_rho = macro_rho + f_new[q]
+    rho_n = jnp.where(is_obs, rho_after, macro_rho)
+    mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+    mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    u_x = jnp.where(is_obs, velx_after, mom_x / safe_rho)
+    u_y = jnp.where(is_obs, vely_after, mom_y / safe_rho)
+
+    f_out = [None] * 9
+    _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+    return f_out, rho_n, u_x, u_y
+
+
+def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
+                       minv_s_m, tile_map):
+    """Two full-boundary steps per pass on BT-row band tiles. The 2-deep
+    f/vel/flags halos come from the whole neighbour blocks the k=1 kernel
+    already loads; phi gains +-1-row halo blocks (new inputs). Step 1 runs
+    on BT+2 extended rows; its outputs are exactly the padded planes step
+    2 needs."""
+    A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+    FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
+
+    def stitch2(tp, md, bt):
+        return jnp.concatenate([tp[-2:, :], md, bt[:2, :]], axis=0)
+
+    def kernel(
+        fl_tp, fl_m, fl_bt,
+        f_tp, f_m, f_bt,
+        vel_tp, vel_m, vel_bt,
+        phi_tp, phi_m, phi_bt,
+        f_out, rho_out, vel_out,
+    ):
+        t0 = tile_map(pl.program_id(0)) * BT
+        fpad = [stitch2(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]  # BT+4
+        vxp = stitch2(vel_tp[0], vel_m[0], vel_bt[0])
+        vyp = stitch2(vel_tp[1], vel_m[1], vel_bt[1])
+        flagsp = stitch2(fl_tp[:], fl_m[:], fl_bt[:])
+        phip = jnp.concatenate(
+            [phi_tp[-1:, :], phi_m[:], phi_bt[:1, :]], axis=0
+        )  # BT+2
+
+        args = (H, W, A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
+                inflow_density)
+        f1, _, u1x, u1y = _full_step_rows(
+            fpad, vxp, vyp, flagsp, phip, t0 - 1, BT + 2, *args
+        )
+        f2, rho_n, u_x, u_y = _full_step_rows(
+            f1, u1x, u1y, flagsp[1 : BT + 3, :], phi_m[:], t0, BT, *args
+        )
+        for q in range(9):
+            f_out[q] = f2[q]
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
@@ -458,21 +761,24 @@ def _full_specs(H, W, TH, tile_map):
     return in_specs, out_specs
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "H", "W", "T", "BT", "tau", "inflow_density", "inflow_vx", "inflow_vy",
-        "minv_s_m", "has_inflow2", "b0", "b1", "bf16_dev",
-    ),
-)
-def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
-                      inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                      has_inflow2, b0, b1, bf16_dev=False):
+def _fused_step_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
+                           inflow_density, inflow_vx, inflow_vy, minv_s_m,
+                           has_inflow2, b0, b1, bf16_dev=False,
+                           write_macro=True):
     """Two-call split: interior tiles of T rows (lean kernel, minimal
     halos), band tiles of BT rows (full-boundary kernel) covering
     interior-tile indices {0, b0..b1, n-1}. T and BT may differ (the
     interior kernel's traffic scales as 9 + 48/T row-planes, so it wants
-    large tiles; the full kernel's VMEM footprint wants small ones)."""
+    large tiles; the full kernel's VMEM footprint wants small ones).
+
+    ``write_macro=False`` drops the rho/vel outputs from the interior
+    call (write traffic 12 -> 9.x planes/step): interior-row macros are
+    only ever consumed at dump instants (recompute them with
+    `make_macro_refresh`), while the band kernel — the only per-step
+    consumer, through its SFC vel halos — never reaches reconstruction
+    range of an interior tile (the band covers the cylinder with a
+    4-row margin). Band rows of rho/vel are updated in place into the
+    incoming (donated) buffers."""
     n = H // T
     T8 = T // 8
     n_band_tiles = (b1 - b0 + 1) + 2
@@ -506,20 +812,30 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
         return pl.BlockSpec((1, 8, W), im, memory_space=pltpu.VMEM)
 
     ik = _make_interior_kernel(W, T, minv_s_m, float(inflow_density),
-                               bf16_dev=bf16_dev)
-    f1, rho1, vel1 = pl.pallas_call(
+                               bf16_dev=bf16_dev, write_macro=write_macro)
+    if write_macro:
+        int_out_specs = [ib3(), ib2(), ib3(2)]
+        int_out_shape = [
+            jax.ShapeDtypeStruct((9, H, W), fst),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((2, H, W), f32),
+        ]
+    else:
+        int_out_specs = [ib3()]
+        int_out_shape = [jax.ShapeDtypeStruct((9, H, W), fst)]
+    int_out = pl.pallas_call(
         ik,
         grid=(n_int,),
         in_specs=[ib3()]
         + [halo(q, up=True) for q in UP_Q]
         + [halo(q, up=False) for q in DN_Q],
-        out_specs=[ib3(), ib2(), ib3(2)],
-        out_shape=[
-            jax.ShapeDtypeStruct((9, H, W), fst),
-            jax.ShapeDtypeStruct((H, W), f32),
-            jax.ShapeDtypeStruct((2, H, W), f32),
-        ],
+        out_specs=int_out_specs,
+        out_shape=int_out_shape,
     )(f, f, f, f, f, f, f)
+    if write_macro:
+        f1, rho1, vel1 = int_out
+    else:
+        (f1,), rho1, vel1 = int_out, rho, vel
 
     # ---- band call: BT-row tiles over rows [0,T) + [b0*T,(b1+1)*T) +
     # [H-T,H), compact outputs merged into the interior buffers with
@@ -578,6 +894,172 @@ def _fused_step_split(f, rho, vel, flags, phi, H, W, T, BT, tau,
     return merge(f1, f2c), merge(rho1, rho2c), merge(vel1, vel2c)
 
 
+_SPLIT_STATIC = (
+    "H", "W", "T", "BT", "tau", "inflow_density", "inflow_vx", "inflow_vy",
+    "minv_s_m", "has_inflow2", "b0", "b1", "bf16_dev", "write_macro",
+)
+_fused_step_split = jax.jit(_fused_step_split_impl, static_argnames=_SPLIT_STATIC)
+# write_macro=False updates band rows of rho/vel in place; donating those
+# buffers lets XLA skip the defensive whole-array copy (the caller's step
+# loop always discards the previous state).
+_fused_step_split_donated = jax.jit(
+    _fused_step_split_impl, static_argnames=_SPLIT_STATIC, donate_argnums=(1, 2)
+)
+
+
+_K2_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
+                            inflow_density, inflow_vx, inflow_vy, minv_s_m,
+                            b0, b1, write_macro=False):
+    """Two lattice steps in one pass (temporal blocking), split into the
+    same interior/band tile sets as `_fused_step_split_impl`. Halves the
+    per-step f read+write HBM traffic at ~(T+2)/T redundant compute."""
+    n = H // T
+    T8 = T // 8
+    n_band_tiles = (b1 - b0 + 1) + 2
+    n_int = n - n_band_tiles
+    c1 = b0 - 1
+    gap = b1 - b0 + 2
+
+    def int_map(i):
+        return jnp.where(i < c1, i + 1, i + gap)
+
+    f32 = jnp.float32
+
+    def ib2():
+        return pl.BlockSpec(
+            (T, W), lambda i: (int_map(i), 0), memory_space=pltpu.VMEM
+        )
+
+    def ib3(c=9):
+        return pl.BlockSpec(
+            (c, T, W), lambda i: (0, int_map(i), 0), memory_space=pltpu.VMEM
+        )
+
+    # whole (9, 8, W) halo groups: step 2 needs step-1 values at +-1 rows,
+    # which mix all 9 populations of rows t0-2/t0+T+1
+    up_spec = pl.BlockSpec(
+        (9, 8, W), lambda i: (0, T8 * int_map(i) - 1, 0), memory_space=pltpu.VMEM
+    )
+    dn_spec = pl.BlockSpec(
+        (9, 8, W), lambda i: (0, T8 * (int_map(i) + 1), 0), memory_space=pltpu.VMEM
+    )
+
+    ik = _make_interior_kernel2(W, T, minv_s_m, float(inflow_density),
+                                write_macro=write_macro)
+    if write_macro:
+        int_out_specs = [ib3(), ib2(), ib3(2)]
+        int_out_shape = [
+            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((2, H, W), f32),
+        ]
+    else:
+        int_out_specs = [ib3()]
+        int_out_shape = [jax.ShapeDtypeStruct((9, H, W), f32)]
+    int_out = pl.pallas_call(
+        ik,
+        grid=(n_int,),
+        in_specs=[ib3(), up_spec, dn_spec],
+        out_specs=int_out_specs,
+        out_shape=int_out_shape,
+        compiler_params=_K2_VMEM,
+    )(f, f, f)
+    if write_macro:
+        f1, rho1, vel1 = int_out
+    else:
+        (f1,), rho1, vel1 = int_out, rho, vel
+
+    # ---- band call (same tile set/merge as the k=1 split) ----
+    TB = T // BT
+    a_ = TB
+    b_ = (b1 - b0 + 1) * TB
+    nH = H // BT
+
+    def band_map(i):
+        return jnp.where(
+            i < a_,
+            i,
+            jnp.where(i < a_ + b_, b0 * TB + (i - a_), nH - TB + (i - a_ - b_)),
+        )
+
+    n_band = 2 * TB + b_
+    bk = _make_full_kernel2(
+        H, W, BT, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
+        band_map,
+    )
+    nb = H // BT
+
+    def mid(i):
+        return band_map(i)
+
+    def up(i):
+        return jax.lax.rem(band_map(i) - 1 + nb, nb)
+
+    def dn(i):
+        return jax.lax.rem(band_map(i) + 1, nb)
+
+    def b2(im):
+        return pl.BlockSpec((BT, W), lambda i: (im(i), 0), memory_space=pltpu.VMEM)
+
+    def b3(im, c=9):
+        return pl.BlockSpec(
+            (c, BT, W), lambda i: (0, im(i), 0), memory_space=pltpu.VMEM
+        )
+
+    band_in_specs = [
+        b2(up), b2(mid), b2(dn),  # flags
+        b3(up), b3(mid), b3(dn),  # f
+        b3(up, 2), b3(mid, 2), b3(dn, 2),  # vel
+        b2(up), b2(mid), b2(dn),  # phi
+    ]
+    compact_out = [
+        pl.BlockSpec((9, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((2, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+    ]
+    f2c, rho2c, vel2c = pl.pallas_call(
+        bk,
+        grid=(n_band,),
+        in_specs=band_in_specs,
+        out_specs=compact_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, n_band * BT, W), f32),
+            jax.ShapeDtypeStruct((n_band * BT, W), f32),
+            jax.ShapeDtypeStruct((2, n_band * BT, W), f32),
+        ],
+        compiler_params=_K2_VMEM,
+    )(flags, flags, flags, f, f, f, vel, vel, vel, phi, phi, phi)
+
+    nb_mid = (b1 - b0 + 1) * T
+
+    def merge(full, compact):
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, compact[..., 0:T, :], 0, axis=full.ndim - 2
+        )
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, compact[..., T : T + nb_mid, :], b0 * T, axis=full.ndim - 2
+        )
+        full = jax.lax.dynamic_update_slice_in_dim(
+            full, compact[..., T + nb_mid :, :], H - T, axis=full.ndim - 2
+        )
+        return full
+
+    return merge(f1, f2c), merge(rho1, rho2c), merge(vel1, vel2c)
+
+
+_SPLIT2_STATIC = (
+    "H", "W", "T", "BT", "tau", "inflow_density", "inflow_vx", "inflow_vy",
+    "minv_s_m", "b0", "b1", "write_macro",
+)
+_fused_step2_split = jax.jit(_fused_step2_split_impl, static_argnames=_SPLIT2_STATIC)
+_fused_step2_split_donated = jax.jit(
+    _fused_step2_split_impl, static_argnames=_SPLIT2_STATIC, donate_argnums=(1, 2)
+)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -609,13 +1091,47 @@ def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
     )(flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
 
 
+def make_macro_refresh(cfg, bf16_dev: bool = False):
+    """Recompute rho/vel from f for every non-OBSTACLE cell (OBSTACLE
+    macros are time-invariant passthroughs, so the stored values are kept).
+
+    Used with `write_macro=False` steps, whose interior tiles skip the
+    per-step rho/vel writes: MRT conserves mass and momentum exactly, so
+    the post-collision recompute equals the kernel's pre-collision macro
+    up to f32 roundoff."""
+
+    @jax.jit
+    def refresh(state, fields):
+        f = f_from_storage(state["f"], bf16_dev)
+        rho_m = f[0]
+        for q in range(1, 9):
+            rho_m = rho_m + f[q]
+        mom_x = f[1] - f[3] + f[5] - f[6] - f[7] + f[8]
+        mom_y = f[2] - f[4] + f[5] + f[6] - f[7] - f[8]
+        is_obs = fields["flags"] == OBSTACLE
+        safe = jnp.where(rho_m == 0, 1.0, rho_m)
+        rho = jnp.where(is_obs, state["rho"], rho_m)
+        u_x = jnp.where(is_obs, state["vel"][0], mom_x / safe)
+        u_y = jnp.where(is_obs, state["vel"][1], mom_y / safe)
+        return dict(state, rho=rho, vel=jnp.stack([u_x, u_y]))
+
+    return refresh
+
+
 def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
-                    interior_rows: int = 32, bf16_dev: bool = False):
+                    interior_rows: int = 32, bf16_dev: bool = False,
+                    write_macro: bool = True):
     """Fused-step function with the same (state, fields) API as
     `models.cylinder.make_step`. Assumes obs_vel == 0, force == 0, and
     initial wall rho == cfg.density / wall vel == 0 (all hold for the
     static-cylinder scene; the macro obstacle passthrough keeps the wall
-    values at their initial state forever)."""
+    values at their initial state forever).
+
+    ``write_macro=False`` (split path only) skips the interior tiles'
+    rho/vel writes; state rho/vel stay stale on interior rows until a
+    `make_macro_refresh` pass. The returned step DONATES the incoming
+    rho/vel buffers in that mode — do not reuse a state dict after
+    stepping it."""
     H, W = cfg.res
     assert H % tile_rows == 0, "H must be divisible by the tile height"
     minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
@@ -632,16 +1148,19 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
                 break
         T //= 2
 
+    skip_macro = (not write_macro) and use_split
+    split_fn = _fused_step_split_donated if skip_macro else _fused_step_split
+
     def step(state, fields):
         common = (
             state["f"], state["rho"], state["vel"],
             fields["flags"], fields["phi_obs"],
         )
         if use_split:
-            f, rho_new, vel_new = _fused_step_split(
+            f, rho_new, vel_new = split_fn(
                 *common, H, W, T, tile_rows, float(cfg.tau),
                 float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
-                b0, b1, bf16_dev=bf16_dev,
+                b0, b1, bf16_dev=bf16_dev, write_macro=not skip_macro,
             )
         else:
             f, rho_new, vel_new = _fused_step_generic(
@@ -651,23 +1170,93 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
             )
         return {"f": f, "rho": rho_new, "vel": vel_new}
 
+    step.skip_macro = skip_macro
     return step
+
+
+def _choose_interior_T(cfg, tile_rows, interior_rows):
+    """Largest interior tile height that leaves interior tiles to run on
+    (same policy as make_fused_step). Returns (T, b0, b1) or None."""
+    H, _ = cfg.res
+    T = interior_rows
+    while T >= 8:
+        if H % T == 0 and T % tile_rows == 0:
+            n, b0, b1 = _band_tiles(cfg, T)
+            if b0 >= 1 and b1 <= n - 2 and (n - ((b1 - b0 + 1) + 2)) > 0:
+                return T, b0, b1
+        T //= 2
+    return None
+
+
+def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
+                     write_macro: bool = False):
+    """Double-step (temporal blocking): advances the state by TWO lattice
+    steps per call, halving the per-step f HBM traffic. Split geometry
+    only (returns None when the domain can't split); the 4-row band
+    margin of `_band_tiles` is exactly the cushion the redundant step-1
+    extended rows need (see the k=2 section comment). f32 storage only.
+
+    Like `make_fused_step(write_macro=False)`, the default mode keeps
+    interior-row rho/vel stale (refresh with `make_macro_refresh`) and
+    DONATES the incoming rho/vel buffers."""
+    H, W = cfg.res
+    choice = _choose_interior_T(cfg, tile_rows, interior_rows)
+    if choice is None:
+        return None
+    T, b0, b1 = choice
+    minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
+    minv_t = tuple(tuple(float(x) for x in row) for row in minv_s_m)
+    fn = _fused_step2_split if write_macro else _fused_step2_split_donated
+
+    def step2(state, fields):
+        f, rho_new, vel_new = fn(
+            state["f"], state["rho"], state["vel"],
+            fields["flags"], fields["phi_obs"],
+            H, W, T, tile_rows, float(cfg.tau), float(cfg.density),
+            0.0, float(cfg.Vmax), minv_t, b0, b1, write_macro=write_macro,
+        )
+        return {"f": f, "rho": rho_new, "vel": vel_new}
+
+    step2.skip_macro = not write_macro
+    return step2
 
 
 def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
                                interior_rows: int = 32,
-                               bf16_dev: bool = False):
+                               bf16_dev: bool = False,
+                               write_macro: bool = False):
     """Runner advancing n steps by dispatching the jitted step per
     iteration. (Wrapping the two pallas calls in lax.fori_loop was
     measured ~5x slower: the while-loop carry forces XLA to copy the
     state buffers every iteration; per-step dispatch overhead is tiny by
-    comparison at 2048^2.)"""
+    comparison at 2048^2.)
+
+    By default the steps run with ``write_macro=False`` (interior tiles
+    skip the per-step rho/vel writes) and the runner refreshes rho/vel
+    once at the end of each ``run`` call, so callers always observe a
+    fully consistent state at dump instants. When the split geometry
+    allows it (and storage is f32), pairs of steps run through the
+    double-step temporal-blocking kernels."""
     step = make_fused_step(cfg, tile_rows, split=split,
-                           interior_rows=interior_rows, bf16_dev=bf16_dev)
+                           interior_rows=interior_rows, bf16_dev=bf16_dev,
+                           write_macro=write_macro)
+    step2 = None
+    if split and not bf16_dev:
+        step2 = make_fused_step2(cfg, tile_rows, interior_rows=interior_rows,
+                                 write_macro=write_macro)
+    skip = step.skip_macro or (step2 is not None and step2.skip_macro)
+    refresh = make_macro_refresh(cfg, bf16_dev=bf16_dev) if skip else None
 
     def run(state, fields, n: int):
-        for _ in range(n):
+        m = n
+        if step2 is not None:
+            while m >= 2:
+                state = step2(state, fields)
+                m -= 2
+        for _ in range(m):
             state = step(state, fields)
+        if refresh is not None and n > 0:
+            state = refresh(state, fields)
         return state
 
     return run

@@ -100,6 +100,102 @@ def test_fused_periodic_matches_unfused_interpret(collision, kbc_type):
     )
 
 
+def test_fused_write_macro_skip_matches():
+    """write_macro=False (interior tiles skip rho/vel writes) + a final
+    macro refresh must match the always-write split path: f bitwise (the
+    same kernels compute it), rho/vel to MRT-conservation roundoff."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    cfg = cyl.CylinderConfig(res=(96, 32), D=8.0, Re=500.0,
+                             cylinder_center=(16.0, 48.0))
+    n = 4
+    with pltpu.force_tpu_interpret_mode():
+        step_ref = fs.make_fused_step(cfg, tile_rows=8, split=True)
+        assert not step_ref.skip_macro
+        a, fields = cyl.init(cfg)
+        for _ in range(n):
+            a = step_ref(a, fields)
+
+        step_skip = fs.make_fused_step(cfg, tile_rows=8, split=True,
+                                       write_macro=False)
+        assert step_skip.skip_macro
+        b, _ = cyl.init(cfg)
+        for _ in range(n):
+            b = step_skip(b, fields)
+        b = fs.make_macro_refresh(cfg)(b, fields)
+
+    np.testing.assert_array_equal(np.asarray(b["f"]), np.asarray(a["f"]))
+    np.testing.assert_allclose(
+        np.asarray(b["rho"]), np.asarray(a["rho"]), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["vel"]), np.asarray(a["vel"]), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_fused_double_step_matches_single_steps():
+    """Temporal blocking: one k=2 pass must equal two k=1 split steps.
+    The redundant step-1 extended rows run the same arithmetic in the
+    same order as the owning tile, so f matches bitwise."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    cfg = cyl.CylinderConfig(res=(96, 32), D=8.0, Re=500.0,
+                             cylinder_center=(16.0, 48.0))
+    with pltpu.force_tpu_interpret_mode():
+        step1 = fs.make_fused_step(cfg, tile_rows=8, split=True)
+        a, fields = cyl.init(cfg)
+        for _ in range(4):
+            a = step1(a, fields)
+
+        step2 = fs.make_fused_step2(cfg, tile_rows=8)
+        assert step2 is not None and step2.skip_macro
+        b, _ = cyl.init(cfg)
+        b = step2(b, fields)
+        b = step2(b, fields)
+        b = fs.make_macro_refresh(cfg)(b, fields)
+
+    np.testing.assert_array_equal(np.asarray(b["f"]), np.asarray(a["f"]))
+    np.testing.assert_allclose(
+        np.asarray(b["rho"]), np.asarray(a["rho"]), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["vel"]), np.asarray(a["vel"]), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_fused_runner_uses_double_steps():
+    """The fused runner must produce the same trajectory whether n is
+    reached via double-steps or single steps (odd n exercises the mixed
+    path), and end with refreshed macros."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    cfg = cyl.CylinderConfig(res=(96, 32), D=8.0, Re=500.0,
+                             cylinder_center=(16.0, 48.0))
+    with pltpu.force_tpu_interpret_mode():
+        state, fields = cyl.init(cfg)
+        step1 = fs.make_fused_step(cfg, tile_rows=8, split=True,
+                                   write_macro=True)
+        ref = dict(state)
+        for _ in range(5):
+            ref = step1(ref, fields)
+
+        # the runner's steps DONATE the state buffers — run it after the
+        # reference has consumed the shared initial state
+        run = fs.make_fused_cylinder_runner(cfg, tile_rows=8)
+        out = run(dict(state), fields, 5)
+
+    np.testing.assert_array_equal(np.asarray(out["f"]), np.asarray(ref["f"]))
+    np.testing.assert_allclose(
+        np.asarray(out["rho"]), np.asarray(ref["rho"]), atol=1e-6, rtol=1e-6
+    )
+
+
 def test_fused_bf16_deviation_storage_close_to_f32():
     """bf16 deviation-from-weight f storage tracks the f32 path.
 
