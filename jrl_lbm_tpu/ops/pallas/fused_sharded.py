@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jrl_lbm_tpu import lattice
 from jrl_lbm_tpu.ops import collide as _collide
+from jrl_lbm_tpu.ops.pallas.fused_step import _feq_terms, _mrt_apply
 from jrl_lbm_tpu.utils.types import CellType
 
 FLUID = int(CellType.FLUID)
@@ -53,19 +54,6 @@ W_Q = lattice.W
 CS2 = 1.0 / 3.0
 
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-
-
-def _feq_terms(rho, ux, uy):
-    uv = ux * ux + uy * uy
-    out = []
-    for q in range(9):
-        ex, ey = float(E[q, 0]), float(E[q, 1])
-        eu = ex * ux + ey * uy
-        w = float(W_Q[q])
-        out.append(
-            rho * w * (1.0 + eu / CS2 + 0.5 * eu * eu / (CS2 * CS2) - 0.5 * uv / CS2)
-        )
-    return out
 
 
 def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
@@ -174,6 +162,7 @@ def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
         count = jnp.zeros((h, w), jnp.float32)
         valid = []
         tq = jnp.where(t_ok, phi, 0.0)
+        tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
         for q in range(9):
             ex, ey = int(E[q, 0]), int(E[q, 1])
             nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
@@ -183,8 +172,8 @@ def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
             count = count + vmask
             ux = pull(velp[0], ex, ey, "minmax")
             uy = pull(velp[1], ex, ey, "minmax")
-            vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
-            vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
+            vel_tgt_x = vel_tgt_x + vmask * tqr * ux
+            vel_tgt_y = vel_tgt_y + vmask * tqr * uy
         safe_count = jnp.where(count > 0, count, 1.0)
         u0 = vel_tgt_x / safe_count
         u1 = vel_tgt_y / safe_count
@@ -221,7 +210,7 @@ def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
             mask = valid[q] & jnp.logical_not(skip)
             f_new[qi] = jnp.where(mask, recon, f_new[qi])
 
-        # ---- macro + MRT ----
+        # ---- macro + MRT (shared CSE feq + paired MRT, fused_step) ----
         macro_rho = f_new[0]
         for q in range(1, 9):
             macro_rho = macro_rho + f_new[q]
@@ -232,13 +221,7 @@ def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
         u_x = jnp.where(is_obs, velx_after, mom_x / safe_rho)
         u_y = jnp.where(is_obs, vely_after, mom_y / safe_rho)
 
-        feq_n = _feq_terms(rho_n, u_x, u_y)
-        d = [feq_n[q] - f_new[q] for q in range(9)]
-        for a in range(9):
-            omega = A[a][0] * d[0]
-            for b in range(1, 9):
-                omega = omega + A[a][b] * d[b]
-            f_out[a] = jnp.where(is_obs, f_new[a], f_new[a] + omega)
+        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y

@@ -57,30 +57,98 @@ W_Q = lattice.W
 CS2 = 1.0 / 3.0
 
 
+# opposite-direction population pairs of this E ordering (REFL[q] = q̄)
+_QPAIRS = ((1, 3), (2, 4), (5, 7), (6, 8))
+
+
 def _feq_terms(rho, ux, uy):
-    """Equilibrium (works for both scalars and tiles) -> 9 values."""
+    """Equilibrium (works for both scalars and tiles) -> 9 values.
+
+    Division-free common-subexpression form of
+    w_q rho (1 + eu/cs2 + eu^2/(2 cs4) - u^2/(2 cs2)): opposite
+    directions share eu^2, the diagonal pairs share eu = ux±uy. Exact
+    algebra — only the f32 summation order differs from the naive form.
+    """
     uv = ux * ux + uy * uy
-    out = []
-    for q in range(9):
-        ex, ey = float(E[q, 0]), float(E[q, 1])
-        eu = ex * ux + ey * uy
-        w = float(W_Q[q])
-        out.append(
-            rho * w * (1.0 + eu / CS2 + 0.5 * eu * eu / (CS2 * CS2) - 0.5 * uv / CS2)
-        )
+    base = 1.0 - 1.5 * uv
+    eus = {1: ux, 2: uy, 5: ux + uy, 6: uy - ux}
+    out = [None] * 9
+    out[0] = rho * (float(W_Q[0]) * base)
+    for q, qb in _QPAIRS:
+        eu = eus[q]
+        c = base + 4.5 * (eu * eu)
+        e3 = 3.0 * eu
+        rw = rho * float(W_Q[q])
+        out[q] = rw * (c + e3)
+        out[qb] = rw * (c - e3)
     return out
+
+
+def _pair_decomp(A):
+    """Even/odd decomposition of the 9x9 relaxation matrix over the
+    opposite-direction pair basis u_p = d_q + d_q̄, v_p = d_q - d_q̄:
+    A[q]·d = Σ_p a_p u_p + Σ_p b_p v_p with a/b = (A[q][i] ± A[q][ī])/2.
+    Because every MRT moment has definite parity under e -> -e, paired
+    output rows share their even part (a_q̄ = a_q, b_q̄ = -b_q) — the
+    check below verifies this numerically and returns None on failure
+    (caller falls back to the dense 81-FMA loop)."""
+    ev = {}
+    od = {}
+    for q in range(9):
+        ev[q] = [A[q][0]] + [0.5 * (A[q][i] + A[q][j]) for i, j in _QPAIRS]
+        od[q] = [0.5 * (A[q][i] - A[q][j]) for i, j in _QPAIRS]
+    tol = 1e-10
+    for q, qb in _QPAIRS:
+        if any(abs(x - y) > tol for x, y in zip(ev[q], ev[qb])):
+            return None
+        if any(abs(x + y) > tol for x, y in zip(od[q], od[qb])):
+            return None
+    if any(abs(x) > tol for x in od[0]):
+        return None
+    return ev, od
 
 
 def _mrt_apply(A, fb, feq_n, is_obs, f_out, st=None):
     """Unrolled M^-1 S M relaxation + obstacle passthrough. ``st(val, q)``
-    converts to the storage format (bf16 deviation) before the write."""
+    converts to the storage format (bf16 deviation) before the write.
+
+    Paired even/odd form: opposite directions share the even-moment dot
+    product (the full 9x9 contraction is 81 FMAs; this is ~66 ops).
+    Exact algebra for any parity-respecting MRT matrix."""
     d = [feq_n[q] - fb[q] for q in range(9)]
-    for a in range(9):
-        omega = A[a][0] * d[0]
-        for b in range(1, 9):
-            omega = omega + A[a][b] * d[b]
-        val = jnp.where(is_obs, fb[a], fb[a] + omega)
-        f_out[a] = val if st is None else st(val, a)
+    dec = _pair_decomp(A)
+
+    def put(q, val):
+        val = jnp.where(is_obs, fb[q], val)
+        f_out[q] = val if st is None else st(val, q)
+
+    if dec is None:  # nonstandard relaxation matrix: dense fallback
+        for a in range(9):
+            omega = A[a][0] * d[0]
+            for b in range(1, 9):
+                omega = omega + A[a][b] * d[b]
+            put(a, fb[a] + omega)
+        return
+
+    ev, od = dec
+    u = [d[0]] + [d[i] + d[j] for i, j in _QPAIRS]
+    v = [d[i] - d[j] for i, j in _QPAIRS]
+
+    def dot(coeffs, vals):
+        acc = None
+        for c, x in zip(coeffs, vals):
+            if c == 0.0:
+                continue
+            term = x if c == 1.0 else c * x
+            acc = term if acc is None else acc + term
+        return 0.0 if acc is None else acc
+
+    put(0, fb[0] + dot(ev[0], u))
+    for q, qb in _QPAIRS:
+        e_part = dot(ev[q], u)
+        o_part = dot(od[q], v)
+        put(q, fb[q] + (e_part + o_part))
+        put(qb, fb[qb] + (e_part - o_part))
 
 
 # --- bf16 deviation storage (docs/PERFORMANCE.md bf16 experiment) -----------
@@ -255,6 +323,7 @@ def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
         count = jnp.zeros((TH, W), jnp.float32)
         valid = []
         tq = jnp.where(t_ok, phi, 0.0)
+        tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
         for q in range(9):
             ex, ey = int(E[q, 0]), int(E[q, 1])
             nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
@@ -264,8 +333,8 @@ def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
             count = count + vmask
             ux = pull(vel_pad[0], ex, ey, "minmax")
             uy = pull(vel_pad[1], ex, ey, "minmax")
-            vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
-            vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
+            vel_tgt_x = vel_tgt_x + vmask * tqr * ux
+            vel_tgt_y = vel_tgt_y + vmask * tqr * uy
         safe_count = jnp.where(count > 0, count, 1.0)
         u0 = vel_tgt_x / safe_count
         u1 = vel_tgt_y / safe_count
@@ -303,6 +372,8 @@ def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
             f_new[qi] = jnp.where(mask, recon, f_new[qi])
 
         # ---- macro + MRT ----
+        # (A fully fused pair-basis macro+MRT form was tried here and
+        # regressed the kernel 2.6x — see docs/PERFORMANCE.md.)
         macro_rho = f_new[0]
         for q in range(1, 9):
             macro_rho = macro_rho + f_new[q]
@@ -603,6 +674,7 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
     count = jnp.zeros((R, W), jnp.float32)
     valid = []
     tq = jnp.where(t_ok, phi, 0.0)
+    tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
     for q in range(9):
         ex, ey = int(E[q, 0]), int(E[q, 1])
         nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
@@ -612,8 +684,8 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
         count = count + vmask
         ux = pull(vxp, ex, ey, "minmax")
         uy = pull(vyp, ex, ey, "minmax")
-        vel_tgt_x = vel_tgt_x + vmask * tq * ux / (tq + 1.0)
-        vel_tgt_y = vel_tgt_y + vmask * tq * uy / (tq + 1.0)
+        vel_tgt_x = vel_tgt_x + vmask * tqr * ux
+        vel_tgt_y = vel_tgt_y + vmask * tqr * uy
     safe_count = jnp.where(count > 0, count, 1.0)
     u0 = vel_tgt_x / safe_count
     u1 = vel_tgt_y / safe_count
