@@ -56,172 +56,183 @@ CS2 = 1.0 / 3.0
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
+                  A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy):
+    """The complete cylinder-scene update on an (h, w) tile given
+    1-cell-padded (h+2, w+2) planes and the tile's global (row0, col0)
+    offset. Pure function of tiles -> (f list, rho, u_x, u_y); shared by
+    the single-tile-per-shard kernel and the row-tiled variant."""
+    eps = 1e-10
+    gy = row0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    gx = col0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    at_y0 = gy == 0
+    at_yH = gy == H - 1
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+
+    flags = flagsp[1:-1, 1:-1]
+    is_fluid = flags == FLUID
+    not_fluid = jnp.logical_not(is_fluid)
+    is_obs = flags == OBSTACLE
+    obs_pad = (flagsp == OBSTACLE).astype(jnp.float32)
+
+    t_ok = (phi > -eps) & (phi <= 1.0 + eps)
+
+    def pull(plane_pad, ex, ey, style):
+        """Value at each cell from (y - ey, x - ex) of the padded
+        plane, with the reference's flag-dependent edge rules —
+        static-slice port of `parallel/padded_ops.py::pull2`."""
+
+        def sl(yo, xo):
+            return plane_pad[1 + yo : 1 + yo + h, 1 + xo : 1 + xo + w]
+
+        def cands(e_comp, lo_mask, hi_mask):
+            cs = [(None, -e_comp)]
+            if e_comp == 1:
+                cs.append((lo_mask & not_fluid, 1 if style == "reflect" else 0))
+            elif e_comp == -1:
+                cs.append((hi_mask & not_fluid, -1 if style == "reflect" else 0))
+            return cs
+
+        v = None
+        for my, yo in cands(ey, at_y0, at_yH):
+            for mx, xo in cands(ex, at_x0, at_xW):
+                patch = sl(yo, xo)
+                if v is None:
+                    v = patch
+                    continue
+                m = mx if my is None else (my if mx is None else (mx & my))
+                v = jnp.where(m, patch, v)
+        return v
+
+    # ---- streaming with sub-grid interpolation bounce-back ----
+    f_mid = [fp[q][1:-1, 1:-1] for q in range(9)]
+    raw_in = [f_mid[0]]
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        raw_in.append(pull(fp[q], ex, ey, "reflect"))
+    f_new = [f_mid[0]]
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
+        f_this = f_mid[int(REFL[q])]
+        nxt = pull(fp[int(REFL[q])], -ex, -ey, "reflect")
+        v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
+        v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
+        v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
+        streamed = jnp.where(nbr_obs, v_obs, raw_in[q])
+        f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
+
+    # ---- INFLOW plug equilibrium ----
+    in_mask = flags == INFLOW
+    for q in range(9):
+        f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
+    rho_after = jnp.where(in_mask, inflow_density, rho_prev)
+    velx_after = jnp.where(in_mask, inflow_vx, velp[0][1:-1, 1:-1])
+    vely_after = jnp.where(in_mask, inflow_vy, velp[1][1:-1, 1:-1])
+
+    # ---- OUTFLOW: copy all 9 from the inward neighbour (only at
+    # global borders; the inward neighbour is local to the shard) ----
+    of_mask = flags == OUTFLOW
+    for q in range(9):
+        g = f_new[q]
+        g = jnp.where(at_y0, pltpu.roll(g, h - 1, axis=0), g)
+        g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+        g = jnp.where(at_x0, pltpu.roll(g, w - 1, axis=1), g)
+        g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+        f_new[q] = jnp.where(of_mask, g, f_new[q])
+
+    # ---- solid-fluid coupling (static cylinder: obs_vel == 0) ----
+    skip = is_obs | at_xW | at_yH
+    rho_tgt = f_new[0]
+    for q in range(1, 9):
+        rho_tgt = rho_tgt + f_new[q]
+    vel_tgt_x = jnp.zeros((h, w), jnp.float32)
+    vel_tgt_y = jnp.zeros((h, w), jnp.float32)
+    count = jnp.zeros((h, w), jnp.float32)
+    valid = []
+    tq = jnp.where(t_ok, phi, 0.0)
+    tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
+    for q in range(9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
+        v_q = nbr_obs & t_ok
+        valid.append(v_q)
+        vmask = v_q.astype(jnp.float32)
+        count = count + vmask
+        ux = pull(velp[0], ex, ey, "minmax")
+        uy = pull(velp[1], ex, ey, "minmax")
+        vel_tgt_x = vel_tgt_x + vmask * tqr * ux
+        vel_tgt_y = vel_tgt_y + vmask * tqr * uy
+    safe_count = jnp.where(count > 0, count, 1.0)
+    u0 = vel_tgt_x / safe_count
+    u1 = vel_tgt_y / safe_count
+
+    def grad12(plane_pad):
+        def at(sx, sy):
+            return pull(plane_pad, -sx, -sy, "minmax")
+
+        gxx = (
+            4.0 * (at(1, 0) - at(-1, 0))
+            + (at(1, 1) - at(-1, 1))
+            + (at(1, -1) - at(-1, -1))
+        ) / 12.0
+        gyy = (
+            4.0 * (at(0, 1) - at(0, -1))
+            + (at(1, 1) - at(1, -1))
+            + (at(-1, 1) - at(-1, -1))
+        ) / 12.0
+        return gxx, gyy
+
+    g00, g01 = grad12(velp[0])
+    g10, g11 = grad12(velp[1])
+
+    for q in range(9):
+        qi = int(REFL[q])
+        e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+        pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+        pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+        pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+        pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+        recon = float(W_Q[qi]) * rho_tgt * (
+            1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
+        )
+        mask = valid[q] & jnp.logical_not(skip)
+        f_new[qi] = jnp.where(mask, recon, f_new[qi])
+
+    # ---- macro + MRT (shared CSE feq + paired MRT, fused_step) ----
+    macro_rho = f_new[0]
+    for q in range(1, 9):
+        macro_rho = macro_rho + f_new[q]
+    rho_n = jnp.where(is_obs, rho_after, macro_rho)
+    mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+    mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    u_x = jnp.where(is_obs, velx_after, mom_x / safe_rho)
+    u_y = jnp.where(is_obs, vely_after, mom_y / safe_rho)
+
+    f_out = [None] * 9
+    _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+    return f_out, rho_n, u_x, u_y
+
+
 def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
                               inflow_vx, inflow_vy, minv_s_m):
     """One full cylinder-scene step on an (h, w) block padded to
     (h+2, w+2); (row0, col0) global offsets arrive as SMEM scalars."""
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
-    eps = 1e-10
 
     def kernel(off_ref, flagsp_ref, fp_ref, velp_ref, rho_ref, phi_ref,
                f_out, rho_out, vel_out):
-        row0 = off_ref[0]
-        col0 = off_ref[1]
-        gy = row0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-        gx = col0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        at_y0 = gy == 0
-        at_yH = gy == H - 1
-        at_x0 = gx == 0
-        at_xW = gx == W - 1
-
-        flagsp = flagsp_ref[:]
-        flags = flagsp[1:-1, 1:-1]
-        is_fluid = flags == FLUID
-        not_fluid = jnp.logical_not(is_fluid)
-        is_obs = flags == OBSTACLE
-        obs_pad = (flagsp == OBSTACLE).astype(jnp.float32)
-
-        fp = [fp_ref[q] for q in range(9)]
-        velp = [velp_ref[0], velp_ref[1]]
-        rho_prev = rho_ref[:]
-        phi = phi_ref[:]
-        t_ok = (phi > -eps) & (phi <= 1.0 + eps)
-
-        def pull(plane_pad, ex, ey, style):
-            """Value at each cell from (y - ey, x - ex) of the padded
-            plane, with the reference's flag-dependent edge rules —
-            static-slice port of `parallel/padded_ops.py::pull2`."""
-
-            def sl(yo, xo):
-                return plane_pad[1 + yo : 1 + yo + h, 1 + xo : 1 + xo + w]
-
-            def cands(e_comp, lo_mask, hi_mask):
-                cs = [(None, -e_comp)]
-                if e_comp == 1:
-                    cs.append((lo_mask & not_fluid, 1 if style == "reflect" else 0))
-                elif e_comp == -1:
-                    cs.append((hi_mask & not_fluid, -1 if style == "reflect" else 0))
-                return cs
-
-            v = None
-            for my, yo in cands(ey, at_y0, at_yH):
-                for mx, xo in cands(ex, at_x0, at_xW):
-                    patch = sl(yo, xo)
-                    if v is None:
-                        v = patch
-                        continue
-                    m = mx if my is None else (my if mx is None else (mx & my))
-                    v = jnp.where(m, patch, v)
-            return v
-
-        # ---- streaming with sub-grid interpolation bounce-back ----
-        f_mid = [fp[q][1:-1, 1:-1] for q in range(9)]
-        raw_in = [f_mid[0]]
-        for q in range(1, 9):
-            ex, ey = int(E[q, 0]), int(E[q, 1])
-            raw_in.append(pull(fp[q], ex, ey, "reflect"))
-        f_new = [f_mid[0]]
-        for q in range(1, 9):
-            ex, ey = int(E[q, 0]), int(E[q, 1])
-            nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
-            f_this = f_mid[int(REFL[q])]
-            nxt = pull(fp[int(REFL[q])], -ex, -ey, "reflect")
-            v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
-            v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
-            v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
-            streamed = jnp.where(nbr_obs, v_obs, raw_in[q])
-            f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
-
-        # ---- INFLOW plug equilibrium ----
-        in_mask = flags == INFLOW
+        fs, rho_n, u_x, u_y = _block_update(
+            flagsp_ref[:], [fp_ref[q] for q in range(9)],
+            [velp_ref[0], velp_ref[1]], rho_ref[:], phi_ref[:],
+            h, w, H, W, off_ref[0], off_ref[1],
+            A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
+        )
         for q in range(9):
-            f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
-        rho_after = jnp.where(in_mask, inflow_density, rho_prev)
-        velx_after = jnp.where(in_mask, inflow_vx, velp[0][1:-1, 1:-1])
-        vely_after = jnp.where(in_mask, inflow_vy, velp[1][1:-1, 1:-1])
-
-        # ---- OUTFLOW: copy all 9 from the inward neighbour (only at
-        # global borders; the inward neighbour is local to the shard) ----
-        of_mask = flags == OUTFLOW
-        for q in range(9):
-            g = f_new[q]
-            g = jnp.where(at_y0, pltpu.roll(g, h - 1, axis=0), g)
-            g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-            g = jnp.where(at_x0, pltpu.roll(g, w - 1, axis=1), g)
-            g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
-            f_new[q] = jnp.where(of_mask, g, f_new[q])
-
-        # ---- solid-fluid coupling (static cylinder: obs_vel == 0) ----
-        skip = is_obs | at_xW | at_yH
-        rho_tgt = f_new[0]
-        for q in range(1, 9):
-            rho_tgt = rho_tgt + f_new[q]
-        vel_tgt_x = jnp.zeros((h, w), jnp.float32)
-        vel_tgt_y = jnp.zeros((h, w), jnp.float32)
-        count = jnp.zeros((h, w), jnp.float32)
-        valid = []
-        tq = jnp.where(t_ok, phi, 0.0)
-        tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
-        for q in range(9):
-            ex, ey = int(E[q, 0]), int(E[q, 1])
-            nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
-            v_q = nbr_obs & t_ok
-            valid.append(v_q)
-            vmask = v_q.astype(jnp.float32)
-            count = count + vmask
-            ux = pull(velp[0], ex, ey, "minmax")
-            uy = pull(velp[1], ex, ey, "minmax")
-            vel_tgt_x = vel_tgt_x + vmask * tqr * ux
-            vel_tgt_y = vel_tgt_y + vmask * tqr * uy
-        safe_count = jnp.where(count > 0, count, 1.0)
-        u0 = vel_tgt_x / safe_count
-        u1 = vel_tgt_y / safe_count
-
-        def grad12(plane_pad):
-            def at(sx, sy):
-                return pull(plane_pad, -sx, -sy, "minmax")
-
-            gxx = (
-                4.0 * (at(1, 0) - at(-1, 0))
-                + (at(1, 1) - at(-1, 1))
-                + (at(1, -1) - at(-1, -1))
-            ) / 12.0
-            gyy = (
-                4.0 * (at(0, 1) - at(0, -1))
-                + (at(1, 1) - at(1, -1))
-                + (at(-1, 1) - at(-1, -1))
-            ) / 12.0
-            return gxx, gyy
-
-        g00, g01 = grad12(velp[0])
-        g10, g11 = grad12(velp[1])
-
-        for q in range(9):
-            qi = int(REFL[q])
-            e0, e1 = float(E[qi, 0]), float(E[qi, 1])
-            pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
-            pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
-            pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
-            pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
-            recon = float(W_Q[qi]) * rho_tgt * (
-                1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
-            )
-            mask = valid[q] & jnp.logical_not(skip)
-            f_new[qi] = jnp.where(mask, recon, f_new[qi])
-
-        # ---- macro + MRT (shared CSE feq + paired MRT, fused_step) ----
-        macro_rho = f_new[0]
-        for q in range(1, 9):
-            macro_rho = macro_rho + f_new[q]
-        rho_n = jnp.where(is_obs, rho_after, macro_rho)
-        mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
-        mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
-        safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
-        u_x = jnp.where(is_obs, velx_after, mom_x / safe_rho)
-        u_y = jnp.where(is_obs, vely_after, mom_y / safe_rho)
-
-        _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+            f_out[q] = fs[q]
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
@@ -254,13 +265,123 @@ def _padded_block_step(off, flagsp, fp, velp, rho, phi, h, w, H, W, tau,
     )(off, flagsp, fp, velp, rho, phi)
 
 
-def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False):
+# Above this many cells the (h+2, w+2) single-tile kernel's working set
+# (~26 f32 planes + temporaries) exceeds the 100 MB scoped-VMEM budget;
+# 2048^2 / 8 shards (527k padded cells) is measured to fit.
+MAX_SINGLE_TILE_CELLS = 600_000
+
+
+@partial(jax.jit, static_argnames=("th", "h", "w", "H", "W", "tau",
+                                   "inflow_density", "inflow_vx",
+                                   "inflow_vy", "minv_s_m", "interpret"))
+def _tiled_block_step(off, flagsp, fp, velp, rho, phi, th, h, w, H, W, tau,
+                      inflow_density, inflow_vx, inflow_vy, minv_s_m,
+                      interpret):
+    """Row-tiled variant of `_padded_block_step` for per-shard blocks
+    beyond VMEM: a grid of (th, w) tiles sweeps the shard, with the
+    1-row y halos delivered as 8-row-aligned neighbour blocks of a
+    single 12-plane stacked x-padded array (flags, f0..f8, vel) — the
+    same BlockSpec-halo pattern as `fused_step._make_interior_kernel`.
+    The cross-shard `ppermute` halo rows enter through two extra (12, 8,
+    w+2) inputs selected by the first/last tile off `pl.program_id`."""
+    A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+    FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
+    f32 = jnp.float32
+    n_t = h // th
+    g = th // 8  # tile height in 8-row groups
+
+    # 12-plane stack over the 1-cell-padded shard block, then the
+    # x-padded interior rows + the two cross-shard halo rows padded to
+    # 8-row-aligned blocks
+    stack = jnp.concatenate(
+        [flagsp[None].astype(f32), fp, velp], axis=0
+    )  # (12, h+2, w+2)
+    s_x = stack[:, 1:-1, :]  # (12, h, w+2)
+    zero7 = jnp.zeros((12, 7, w + 2), f32)
+    top8 = jnp.concatenate([zero7, stack[:, 0:1, :]], axis=1)
+    bot8 = jnp.concatenate([stack[:, -1:, :], zero7], axis=1)
+
+    def kernel(off_ref, mid_ref, uph_ref, dnh_ref, top_ref, bot_ref,
+               rho_ref, phi_ref, f_out, rho_out, vel_out):
+        i = pl.program_id(0)
+        first = i == 0
+        last = i == n_t - 1
+        above = jnp.where(first, top_ref[:, -1:, :], uph_ref[:, -1:, :])
+        below = jnp.where(last, bot_ref[:, 0:1, :], dnh_ref[:, 0:1, :])
+        win = jnp.concatenate([above, mid_ref[:], below], axis=1)
+        fs, rho_n, u_x, u_y = _block_update(
+            win[0], [win[1 + q] for q in range(9)], [win[10], win[11]],
+            rho_ref[:], phi_ref[:], th, w, H, W,
+            off_ref[0] + i * th, off_ref[1],
+            A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
+        )
+        for q in range(9):
+            f_out[q] = fs[q]
+        rho_out[:] = rho_n
+        vel_out[0] = u_x
+        vel_out[1] = u_y
+
+    wp = w + 2
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((12, th, wp), lambda i: (0, i, 0)),
+        pl.BlockSpec((12, 8, wp), lambda i: (0, jnp.maximum(i * g - 1, 0), 0)),
+        pl.BlockSpec(
+            (12, 8, wp), lambda i: (0, jnp.minimum((i + 1) * g, h // 8 - 1), 0)
+        ),
+        pl.BlockSpec((12, 8, wp), lambda i: (0, 0, 0)),
+        pl.BlockSpec((12, 8, wp), lambda i: (0, 0, 0)),
+        pl.BlockSpec((th, w), lambda i: (i, 0)),
+        pl.BlockSpec((th, w), lambda i: (i, 0)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((9, th, w), lambda i: (0, i, 0)),
+            pl.BlockSpec((th, w), lambda i: (i, 0)),
+            pl.BlockSpec((2, th, w), lambda i: (0, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, h, w), f32),
+            jax.ShapeDtypeStruct((h, w), f32),
+            jax.ShapeDtypeStruct((2, h, w), f32),
+        ],
+        compiler_params=None if interpret else _VMEM_PARAMS,
+        interpret=interpret,
+    )(off, s_x, s_x, s_x, top8, bot8, rho, phi)
+
+
+def _pick_tile_rows(h, w):
+    """None (single-tile fits VMEM) or the largest multiple-of-8 tile
+    height <= 64 that divides h."""
+    if (h + 2) * (w + 2) <= MAX_SINGLE_TILE_CELLS:
+        return None
+    if h % 8:
+        raise ValueError(
+            f"per-shard block of {h} rows x {w} cols exceeds the "
+            f"single-tile VMEM budget and h is not a multiple of 8"
+        )
+    th = 64
+    while h % th:
+        th //= 2
+    return th
+
+
+def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
+                                     tile_rows=0):
     """Sharded fused step: `ppermute` halos + one Pallas call per shard.
 
     Same (state, fields) -> state contract as
     `parallel.sharded.make_sharded_cylinder_step`, with the entire
     per-shard update fused into a single kernel. ``interpret=True`` runs
     the kernel in interpret mode (for CPU-mesh equivalence tests).
+
+    ``tile_rows``: 0 (default) auto-selects — one whole-block kernel per
+    shard while the padded block fits the VMEM budget, the row-tiled
+    grid kernel beyond it; ``None`` forces single-tile; an explicit
+    multiple of 8 forces that tile height.
     """
     from jrl_lbm_tpu.parallel.halo import pad_halo
     from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
@@ -271,6 +392,11 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False):
     assert H % ny == 0 and W % nx == 0, "grid must tile the mesh"
     h, w = H // ny, W // nx
     assert h >= 3 and w >= 3, "blocks must be at least 3 cells wide"
+    if tile_rows == 0:
+        tile_rows = _pick_tile_rows(h, w)
+    if tile_rows is not None and (tile_rows % 8 or h % tile_rows):
+        raise ValueError(f"tile_rows={tile_rows} must be a multiple of 8 "
+                         f"dividing the per-shard rows {h}")
     minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
     minv_t = tuple(tuple(float(x) for x in row) for row in minv_s_m)
     iv = (0.0, float(cfg.Vmax))  # reference inflow plug (+y)
@@ -282,6 +408,12 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False):
         fp = pad_halo(f, AXIS_Y, AXIS_X)
         velp = pad_halo(vel, AXIS_Y, AXIS_X)
         flagsp = pad_halo(flags, AXIS_Y, AXIS_X)
+        if tile_rows is not None:
+            return _tiled_block_step(
+                off, flagsp, fp, velp, rho, phi_obs, tile_rows, h, w, H, W,
+                float(cfg.tau), float(cfg.density), iv[0], iv[1], minv_t,
+                interpret,
+            )
         return _padded_block_step(
             off, flagsp, fp, velp, rho, phi_obs, h, w, H, W,
             float(cfg.tau), float(cfg.density), iv[0], iv[1], minv_t,
@@ -310,8 +442,10 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False):
     return step
 
 
-def make_sharded_fused_cylinder_runner(cfg, mesh, interpret: bool = False):
-    step = make_sharded_fused_cylinder_step(cfg, mesh, interpret=interpret)
+def make_sharded_fused_cylinder_runner(cfg, mesh, interpret: bool = False,
+                                       tile_rows=0):
+    step = make_sharded_fused_cylinder_step(cfg, mesh, interpret=interpret,
+                                            tile_rows=tile_rows)
     jstep = jax.jit(step)
 
     def run(state, fields, n: int):

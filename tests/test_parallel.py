@@ -272,6 +272,39 @@ def test_sharded_fused_cylinder_matches_unsharded():
         np.testing.assert_allclose(a[mask], b[mask], rtol=tol, atol=tol, err_msg=key)
 
 
+def test_sharded_fused_tiled_cylinder_matches_unsharded():
+    """Row-tiled per-shard fused kernel (beyond-VMEM path, forced via
+    tile_rows=8) == the single-device step: the y halo of interior tiles
+    comes from 8-row-aligned neighbour blocks, the first/last tiles'
+    from the cross-shard ppermute rows."""
+    from jrl_lbm_tpu.ops.pallas.fused_sharded import (
+        make_sharded_fused_cylinder_runner,
+    )
+
+    cfg = cyl.CylinderConfig(
+        res=(48, 32), D=7.4, Re=500.0, cylinder_center=(16.0, 16.0)
+    )
+    state, fields = cyl.init(cfg)
+    _assert_coupling_mask_nonempty(fields)
+    run_ref = cyl.make_runner(cfg)
+    ref = jax.tree.map(np.asarray, run_ref(state, fields, 6))
+
+    mesh = make_mesh((2, 4))
+    sstate, sfields = shard_state(state, fields, mesh)
+    run_sh = make_sharded_fused_cylinder_runner(
+        cfg, mesh, interpret=True, tile_rows=8
+    )
+    out = run_sh(sstate, sfields, 6)
+
+    flags = np.asarray(fields["flags"])
+    fluid = flags != int(CellType.OBSTACLE)
+    for key, tol in (("f", 2e-5), ("rho", 2e-5), ("vel", 2e-4)):
+        a = np.asarray(out[key])
+        b = ref[key]
+        mask = fluid if a.ndim == 2 else np.broadcast_to(fluid, a.shape)
+        np.testing.assert_allclose(a[mask], b[mask], rtol=tol, atol=tol, err_msg=key)
+
+
 def test_pad_halo_corners_and_wrap():
     """Halo values = global periodic neighbours, including corners."""
     from jrl_lbm_tpu.parallel.halo import pad_halo
