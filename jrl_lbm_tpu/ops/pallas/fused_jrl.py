@@ -82,10 +82,35 @@ def _feq9(rho, ux, uy):
     return out
 
 
-def _make_jrl_fluid_kernel(cfg, n_steps):
+def _layout(H, W, transposed):
+    """(shape, y-axis, x-axis) of the in-kernel 2D tiles.
+
+    The physics is on an (H=y, W=x) grid; the default layout stores it
+    that way, putting x on the 128-wide lane dimension. The JRL base
+    grids are 128x64 — x = 64 lanes leaves HALF the VPU idle on every
+    op. ``transposed`` stores tiles as (W, H) so the 128-divisible y
+    axis rides the lanes (measured ~1.5x on the collision tail; see
+    docs/PERFORMANCE.md). Pure layout change: same ops, axes swapped."""
+    return ((W, H), 1, 0) if transposed else ((H, W), 0, 1)
+
+
+def _t2(a):
+    """Swap the trailing (y, x) dims (layout transpose at kernel edges)."""
+    return jnp.swapaxes(a, -1, -2)
+
+
+def _want_transposed(cfg) -> bool:
+    """Transposed layout pays when x underfills the 128-lane dimension
+    (refine-1 JRL grids are 128x64)."""
+    _, W = cfg.eff_res
+    return W < 128
+
+
+def _make_jrl_fluid_kernel(cfg, n_steps, transposed=False):
     """Kernel body closure. All cfg-derived quantities are Python floats
     (baked into the kernel); only (f, rho, vel, start_step) are traced."""
     H, W = cfg.eff_res
+    SHP, AY, AX = _layout(H, W, transposed)
     tau = float(cfg.tau)
     vel_obs = float(cfg.vel_obs)
     rg = float(cfg.Rg_radius)
@@ -98,8 +123,8 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
     eps = 1e-10
 
     def kernel(start_ref, f_ref, rho_ref, vel_ref, f_out, rho_out, vel_out):
-        iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, SHP, AY)
+        ix = jax.lax.broadcasted_iota(jnp.int32, SHP, AX)
         at_x0 = ix == 0
         at_xW = ix == W - 1
         at_y0 = iy == 0
@@ -135,7 +160,7 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
                 phi = jnp.minimum(jnp.maximum(tx, ty), ty_top)
                 tip = (iy < walks_int) & (ix < jnp.int32(rg))
                 flags = jnp.where(tip, OBSTACLE, base_flags)
-                obs_v0 = jnp.zeros((H, W), jnp.float32)
+                obs_v0 = jnp.zeros(SHP, jnp.float32)
                 obs_v1 = jnp.where(tip, vel_obs, 0.0)
                 vel0 = jnp.where(tip, 0.0, vel0)
                 vel1 = jnp.where(tip, vel_obs, vel1)
@@ -147,7 +172,7 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
                 phi = jnp.minimum(jnp.maximum(ty, align), ty_top)
                 tip = phi <= 0
                 flags = jnp.where(tip, OBSTACLE, base_flags)
-                obs_v0 = jnp.zeros((H, W), jnp.float32)
+                obs_v0 = jnp.zeros(SHP, jnp.float32)
                 obs_v1 = jnp.where(tip & ~at_yH, vel_obs, 0.0)
                 vel0 = jnp.where(tip, obs_v0, vel0)
                 vel1 = jnp.where(tip, obs_v1, vel1)
@@ -162,23 +187,23 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
                 for non-FLUID (`propagation.cu:76-87`)."""
                 if ex == 0:
                     return a
-                v = pltpu.roll(a, ex % W, axis=1)
+                v = pltpu.roll(a, ex % W, axis=AX)
                 if ex == 1:
                     return jnp.where(at_x0, a, v)  # x=0 symmetry axis
                 if not fluid:
-                    return jnp.where(at_xW, pltpu.roll(a, 1, axis=1), v)
+                    return jnp.where(at_xW, pltpu.roll(a, 1, axis=AX), v)
                 return v
 
             def syp(a, ey, fluid):
                 if ey == 0:
                     return a
-                v = pltpu.roll(a, ey % H, axis=0)
+                v = pltpu.roll(a, ey % H, axis=AY)
                 if ey == 1:
                     if not fluid:
-                        return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=0), v)
+                        return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=AY), v)
                     return v
                 if not fluid:
-                    return jnp.where(at_yH, pltpu.roll(a, 1, axis=0), v)
+                    return jnp.where(at_yH, pltpu.roll(a, 1, axis=AY), v)
                 return v
 
             def pull_both(a, ex, ey):
@@ -224,17 +249,17 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
             of_mask = flags == OUTFLOW
             for q in range(9):
                 g = f_new[q]
-                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=0), g)
-                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
-                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=AY), g)
+                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=AY), g)
+                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=AX), g)
+                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=AX), g)
                 f_new[q] = jnp.where(of_mask, g, f_new[q])
 
             # ---- stencil shifts (ops/stencil.py minmax-clamp semantics) ----
             def axm(a, sx, fluid):
                 if sx == 0:
                     return a
-                v = pltpu.roll(a, (-sx) % W, axis=1)
+                v = pltpu.roll(a, (-sx) % W, axis=AX)
                 if sx == -1:  # axis collapse == min clamp at col 0
                     return jnp.where(at_x0, a, v)
                 if not fluid:
@@ -244,7 +269,7 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
             def aym(a, sy, fluid):
                 if sy == 0:
                     return a
-                v = pltpu.roll(a, (-sy) % H, axis=0)
+                v = pltpu.roll(a, (-sy) % H, axis=AY)
                 if sy == -1:
                     if not fluid:
                         return jnp.where(at_y0, a, v)
@@ -273,13 +298,13 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
             rho_tgt = f_new[0]
             for q in range(1, 9):
                 rho_tgt = rho_tgt + f_new[q]
-            vel_tgt_x = jnp.zeros((H, W), jnp.float32)
-            vel_tgt_y = jnp.zeros((H, W), jnp.float32)
-            count = jnp.zeros((H, W), jnp.float32)
+            vel_tgt_x = jnp.zeros(SHP, jnp.float32)
+            vel_tgt_y = jnp.zeros(SHP, jnp.float32)
+            count = jnp.zeros(SHP, jnp.float32)
             valid = []
             for q in range(9):
                 ex, ey = int(E[q, 0]), int(E[q, 1])
-                v_q = no8.get((ex, ey), jnp.zeros((H, W), bool)) & t_ok
+                v_q = no8.get((ex, ey), jnp.zeros(SHP, bool)) & t_ok
                 valid.append(v_q)
                 vmask = v_q.astype(jnp.float32)
                 count = count + vmask
@@ -358,8 +383,8 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
                 def val(sx, sy):
                     return at_(a, sx, sy)
 
-                gx = jnp.zeros((H, W), jnp.float32)
-                bx = jnp.zeros((H, W), bool)
+                gx = jnp.zeros(SHP, jnp.float32)
+                bx = jnp.zeros(SHP, bool)
                 p = no8[(1, 0)] | no8[(-1, 0)]
                 gx = gx + jnp.where(p, 0.0, 4.0 * (val(1, 0) - val(-1, 0)))
                 bx = bx | p
@@ -371,8 +396,8 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
                 bx = bx | p
                 gx = jnp.where(bx | is_obs, 0.0, gx) / 12.0
 
-                gy = jnp.zeros((H, W), jnp.float32)
-                by = jnp.zeros((H, W), bool)
+                gy = jnp.zeros(SHP, jnp.float32)
+                by = jnp.zeros(SHP, bool)
                 p = no8[(0, 1)] | no8[(0, -1)]
                 gy = gy + jnp.where(p, 0.0, 4.0 * (val(0, 1) - val(0, -1)))
                 by = by | p
@@ -429,10 +454,11 @@ def _make_jrl_fluid_kernel(cfg, n_steps):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n"))
-def _fused_fluid_run(f, rho, vel, start_step, cfg, n):
+@partial(jax.jit, static_argnames=("cfg", "n", "transposed"))
+def _fused_fluid_run(f, rho, vel, start_step, cfg, n, transposed=False):
     H, W = cfg.eff_res
-    kernel = _make_jrl_fluid_kernel(cfg, n)
+    SHP, _, _ = _layout(H, W, transposed)
+    kernel = _make_jrl_fluid_kernel(cfg, n, transposed)
     start = jnp.asarray(start_step, jnp.float32).reshape(1, 1)
     f32 = jnp.float32
     return pl.pallas_call(
@@ -449,9 +475,9 @@ def _fused_fluid_run(f, rho, vel, start_step, cfg, n):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((9, H, W), f32),
-            jax.ShapeDtypeStruct((H, W), f32),
-            jax.ShapeDtypeStruct((2, H, W), f32),
+            jax.ShapeDtypeStruct((9,) + SHP, f32),
+            jax.ShapeDtypeStruct(SHP, f32),
+            jax.ShapeDtypeStruct((2,) + SHP, f32),
         ],
         compiler_params=_VMEM_PARAMS,
     )(start, f, rho, vel)
@@ -462,7 +488,7 @@ def fits_vmem(cfg) -> bool:
     return H * W <= MAX_FUSED_CELLS
 
 
-def _make_balance_kernel(cfg, n_steps):
+def _make_balance_kernel(cfg, n_steps, transposed=False):
     """C-lattice balance-phase kernel: zero velocity, fixed flags.
 
     Per step (== `models/jrl.py::make_balance_step`): stream h with the
@@ -474,13 +500,14 @@ def _make_balance_kernel(cfg, n_steps):
     equilibrium reduces to w_q * C.
     """
     H, W = cfg.eff_res
+    SHP, AY, AX = _layout(H, W, transposed)
     tau_D = float(cfg.tau_D)
     inv_tau = 1.0 / tau_D
     rate_coef = 1.0 - 0.5 / tau_D
 
     def kernel(flags_ref, h_ref, c_ref, h_out, c_out):
-        iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, SHP, AY)
+        ix = jax.lax.broadcasted_iota(jnp.int32, SHP, AX)
         at_x0 = ix == 0
         at_xW = ix == W - 1
         at_y0 = iy == 0
@@ -498,23 +525,23 @@ def _make_balance_kernel(cfg, n_steps):
         def sxp(a, ex, fluid):
             if ex == 0:
                 return a
-            v = pltpu.roll(a, ex % W, axis=1)
+            v = pltpu.roll(a, ex % W, axis=AX)
             if ex == 1:
                 return jnp.where(at_x0, a, v)
             if not fluid:
-                return jnp.where(at_xW, pltpu.roll(a, 1, axis=1), v)
+                return jnp.where(at_xW, pltpu.roll(a, 1, axis=AX), v)
             return v
 
         def syp(a, ey, fluid):
             if ey == 0:
                 return a
-            v = pltpu.roll(a, ey % H, axis=0)
+            v = pltpu.roll(a, ey % H, axis=AY)
             if ey == 1:
                 if not fluid:
-                    return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=0), v)
+                    return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=AY), v)
                 return v
             if not fluid:
-                return jnp.where(at_yH, pltpu.roll(a, 1, axis=0), v)
+                return jnp.where(at_yH, pltpu.roll(a, 1, axis=AY), v)
             return v
 
         def pull_both(a, ex, ey):
@@ -566,10 +593,10 @@ def _make_balance_kernel(cfg, n_steps):
             # OUTFLOW border copies (ops/stream.py:238-243 order)
             for q in range(9):
                 g = h_new[q]
-                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=0), g)
-                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
-                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=AY), g)
+                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=AY), g)
+                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=AX), g)
+                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=AX), g)
                 h_new[q] = jnp.where(of_mask, g, h_new[q])
 
             # macro C + convection BGK (u = 0)
@@ -591,18 +618,19 @@ def _make_balance_kernel(cfg, n_steps):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n"))
-def _fused_balance_run(h, C, flags, cfg, n):
+@partial(jax.jit, static_argnames=("cfg", "n", "transposed"))
+def _fused_balance_run(h, C, flags, cfg, n, transposed=False):
     H, W = cfg.eff_res
-    kernel = _make_balance_kernel(cfg, n)
+    SHP, _, _ = _layout(H, W, transposed)
+    kernel = _make_balance_kernel(cfg, n, transposed)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
-            jax.ShapeDtypeStruct((9, H, W), f32),
-            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((9,) + SHP, f32),
+            jax.ShapeDtypeStruct(SHP, f32),
         ],
         compiler_params=_VMEM_PARAMS,
     )(flags, h, C)
@@ -616,9 +644,18 @@ def make_fused_balance_runner(cfg, flags):
             f"grid {cfg.eff_res} exceeds the fused kernel's VMEM budget"
         )
 
+    tr = _want_transposed(cfg)
+    bound_flags = _t2(flags) if tr else flags
+
     def run(state, fields, n: int):
         del fields
-        h, C = _fused_balance_run(state["h"], state["C"], flags, cfg, int(n))
+        h, C = state["h"], state["C"]
+        if tr:
+            h, C = _t2(h), _t2(C)
+        h, C = _fused_balance_run(h, C, bound_flags, cfg, int(n),
+                                  transposed=tr)
+        if tr:
+            h, C = _t2(h), _t2(C)
         return {"C": C, "h": h}
 
     return run
@@ -630,7 +667,8 @@ def make_fused_balance_runner(cfg, flags):
 APPROACH_FRAME_WINDOW = 16
 
 
-def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
+def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
+                          transposed=False):
     """C-lattice approach-phase kernel over a window of K stored-velocity
     frames held in VMEM; the per-step frame index b = clip(floor(x/0.1),
     0, n_frames-1) is computed in-kernel and the frame pair is read with
@@ -646,6 +684,7 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
     inflow/current integrals accumulated into scalars.
     """
     H, W = cfg.eff_res
+    SHP, AY, AX = _layout(H, W, transposed)
     tau_D = float(cfg.tau_D)
     inv_tau = 1.0 / tau_D
     rate_coef = 1.0 - 0.5 / tau_D
@@ -665,8 +704,8 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
         start_ref, b0w_ref, base_ref, win_ref, h_ref, c_ref,
         h_out, c_out, acc_out,
     ):
-        iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        iy = jax.lax.broadcasted_iota(jnp.int32, SHP, AY)
+        ix = jax.lax.broadcasted_iota(jnp.int32, SHP, AX)
         at_x0 = ix == 0
         at_xW = ix == W - 1
         at_y0 = iy == 0
@@ -698,23 +737,23 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
         def sxp(a, ex, fluid):
             if ex == 0:
                 return a
-            vv = pltpu.roll(a, ex % W, axis=1)
+            vv = pltpu.roll(a, ex % W, axis=AX)
             if ex == 1:
                 return jnp.where(at_x0, a, vv)
             if not fluid:
-                return jnp.where(at_xW, pltpu.roll(a, 1, axis=1), vv)
+                return jnp.where(at_xW, pltpu.roll(a, 1, axis=AX), vv)
             return vv
 
         def syp(a, ey, fluid):
             if ey == 0:
                 return a
-            vv = pltpu.roll(a, ey % H, axis=0)
+            vv = pltpu.roll(a, ey % H, axis=AY)
             if ey == 1:
                 if not fluid:
-                    return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=0), vv)
+                    return jnp.where(at_y0, pltpu.roll(a, H - 1, axis=AY), vv)
                 return vv
             if not fluid:
-                return jnp.where(at_yH, pltpu.roll(a, 1, axis=0), vv)
+                return jnp.where(at_yH, pltpu.roll(a, 1, axis=AY), vv)
             return vv
 
         def step(i, carry):
@@ -809,7 +848,7 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
                 h_new.append(jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p]))
 
             # INFLOW: feq(0, u) == 0 sink; INFLOW_2: feq(1, local C_vel)
-            feq_in2 = _feq9(jnp.ones((H, W), jnp.float32), cv0, cv1)
+            feq_in2 = _feq9(jnp.ones(SHP, jnp.float32), cv0, cv1)
             for q in range(9):
                 g = jnp.where(in_mask, 0.0, h_new[q])
                 h_new[q] = jnp.where(in2_mask, feq_in2[q], g)
@@ -819,10 +858,10 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
             # OUTFLOW border copies
             for q in range(9):
                 g = h_new[q]
-                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=0), g)
-                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
-                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+                g = jnp.where(at_y0, pltpu.roll(g, H - 1, axis=AY), g)
+                g = jnp.where(at_yH, pltpu.roll(g, 1, axis=AY), g)
+                g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=AX), g)
+                g = jnp.where(at_xW, pltpu.roll(g, 1, axis=AX), g)
                 h_new[q] = jnp.where(of_mask, g, h_new[q])
 
             # ---- macro C (+ clamp on flat variants) ----
@@ -846,9 +885,9 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
             # ---- tip-disk integrals (`C_ethaline:364-385`) ----
             if flat:
                 # flux form dC_z + dC_r (`C_cylinder:344-358`)
-                Cm1 = pltpu.roll(C_n, 1, axis=0)  # C[row-1] at row
+                Cm1 = pltpu.roll(C_n, 1, axis=AY)  # C[row-1] at row
                 rC = xs * C_n
-                rC_next = pltpu.roll(rC, W - 1, axis=1)  # rC[col+1] at col
+                rC_next = pltpu.roll(rC, W - 1, axis=AX)  # rC[col+1] at col
                 dC = (C_n - Cm1) + (rC_next - rC) / xs
                 new_inflow = jnp.sum(
                     jnp.where(iy == walks_int, dC * area_w, 0.0)
@@ -890,11 +929,13 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n", "K", "n_frames", "hoist"))
+@partial(jax.jit, static_argnames=("cfg", "n", "K", "n_frames", "hoist",
+                                   "transposed"))
 def _fused_approach_run(h, C, base_flags, window, start_step, b0w,
-                        cfg, n, K, n_frames, hoist):
+                        cfg, n, K, n_frames, hoist, transposed=False):
     H, W = cfg.eff_res
-    kernel = _make_approach_kernel(cfg, n, K, n_frames, hoist)
+    SHP, _, _ = _layout(H, W, transposed)
+    kernel = _make_approach_kernel(cfg, n, K, n_frames, hoist, transposed)
     f32 = jnp.float32
     start = jnp.asarray(start_step, f32).reshape(1, 1)
     b0 = jnp.asarray(b0w, f32).reshape(1, 1)
@@ -906,8 +947,8 @@ def _fused_approach_run(h, C, base_flags, window, start_step, b0w,
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_shape=[
-            jax.ShapeDtypeStruct((9, H, W), f32),
-            jax.ShapeDtypeStruct((H, W), f32),
+            jax.ShapeDtypeStruct((9,) + SHP, f32),
+            jax.ShapeDtypeStruct(SHP, f32),
             jax.ShapeDtypeStruct((1, 128), f32),
         ],
         compiler_params=_VMEM_PARAMS,
@@ -938,6 +979,10 @@ def make_fused_approach_runner(cfg, vel_field):
     v = np.float32(cfg.vel_obs_conv)
     x_int = np.float32(0.1)
 
+    tr = _want_transposed(cfg)
+    if tr:
+        frames = _t2(frames)
+
     def frame_of(step: int) -> int:
         # must match the kernel/unfused f32 arithmetic exactly
         x = np.float32(np.float32(step) * v)
@@ -953,6 +998,8 @@ def make_fused_approach_runner(cfg, vel_field):
         start = int(start_step)
         h, C = state["h"], state["C"]
         base_flags = fields["base_flags"]
+        if tr:
+            h, C, base_flags = _t2(h), _t2(C), _t2(base_flags)
         infl = curr = 0.0
         ru = rv = 0.0
         s = start
@@ -985,12 +1032,14 @@ def make_fused_approach_runner(cfg, vel_field):
             window = jax.lax.dynamic_slice_in_dim(frames, b0w, K, axis=0)
             h, C, acc = _fused_approach_run(
                 h, C, base_flags, window, float(s), float(b0w), cfg,
-                int(seg_end - s), K, n_frames, hoist,
+                int(seg_end - s), K, n_frames, hoist, transposed=tr,
             )
             infl = infl + acc[0, 0]
             curr = curr + acc[0, 1]
             ru, rv = acc[0, 2], acc[0, 3]
             s = seg_end
+        if tr:
+            h, C = _t2(h), _t2(C)
         acc_d = {
             "inflow_sum": infl,
             "current_sum": curr,
@@ -1015,11 +1064,17 @@ def make_fused_fluid_runner(cfg):
             f"grid {cfg.eff_res} exceeds the fused kernel's VMEM budget"
         )
 
+    tr = _want_transposed(cfg)
+
     def run(state, fields, start_step, n: int):
         del fields
-        f, rho, vel = _fused_fluid_run(
-            state["f"], state["rho"], state["vel"], start_step, cfg, int(n)
-        )
+        f, rho, vel = state["f"], state["rho"], state["vel"]
+        if tr:
+            f, rho, vel = _t2(f), _t2(rho), _t2(vel)
+        f, rho, vel = _fused_fluid_run(f, rho, vel, start_step, cfg, int(n),
+                                       transposed=tr)
+        if tr:
+            f, rho, vel = _t2(f), _t2(rho), _t2(vel)
         return {"f": f, "rho": rho, "vel": vel}
 
     return run
