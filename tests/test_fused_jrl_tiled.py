@@ -24,7 +24,9 @@ def _run_unfused(cfg, n):
     return state
 
 
-@pytest.mark.parametrize("shape", ["cylinder", "45degree"])
+@pytest.mark.parametrize(
+    "shape", [pytest.param("cylinder", marks=pytest.mark.slow), "45degree"]
+)
 def test_tiled_jrl_fluid_matches_unfused(shape):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -49,7 +51,9 @@ def test_tiled_jrl_fluid_matches_unfused(shape):
         )
 
 
-@pytest.mark.parametrize("shape", ["45degree", "cylinder"])
+@pytest.mark.parametrize(
+    "shape", ["45degree", pytest.param("cylinder", marks=pytest.mark.slow)]
+)
 def test_tiled_c_balance_matches_unfused(shape):
     from jax.experimental.pallas import tpu as pltpu
 
@@ -68,7 +72,9 @@ def test_tiled_c_balance_matches_unfused(shape):
     np.testing.assert_allclose(out["h"], ref["h"], rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("shape", ["45degree", "cylinder"])
+@pytest.mark.parametrize(
+    "shape", ["45degree", pytest.param("cylinder", marks=pytest.mark.slow)]
+)
 def test_tiled_c_approach_matches_unfused(shape):
     from jax.experimental.pallas import tpu as pltpu
 

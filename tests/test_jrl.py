@@ -30,7 +30,9 @@ def test_fluid_config_unit_conversion():
     assert cfg.total_steps == int((48 - 1 - cfg.inflow_height_int) / cfg.vel_obs)
 
 
-@pytest.mark.parametrize("shape", ["cylinder", "45degree"])
+@pytest.mark.parametrize(
+    "shape", [pytest.param("cylinder", marks=pytest.mark.slow), "45degree"]
+)
 def test_fluid_phase_runs_and_records(shape):
     cfg = _tiny_fluid(shape)
     snapshots, state = jrl.run_fluid_phase(cfg)

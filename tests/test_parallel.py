@@ -91,7 +91,11 @@ def _assert_coupling_mask_nonempty(fields):
     assert mask.sum() > 0, "no cell triggers the curved-boundary reconstruction"
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 4),
+    pytest.param((4, 2), marks=pytest.mark.slow),
+    pytest.param((1, 8), marks=pytest.mark.slow),
+])
 def test_sharded_cylinder_step_matches_unsharded(mesh_shape):
     """N steps of the sharded cylinder step == the single-device step."""
     cfg = cyl.CylinderConfig(
@@ -133,7 +137,10 @@ def test_sharded_step_is_actually_sharded():
     assert shard_shapes == {(9, 24, 8)}
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 4),
+    pytest.param((4, 2), marks=pytest.mark.slow),
+])
 def test_sharded_jrl_fluid_matches_unsharded(mesh_shape):
     """Sharded axisymmetric moving-tip step == single-device step."""
     from jrl_lbm_tpu.models import jrl
@@ -192,7 +199,10 @@ def test_sharded_c_balance_matches_unsharded(shape):
     )
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+@pytest.mark.parametrize("mesh_shape", [
+    (2, 4),
+    pytest.param((4, 2), marks=pytest.mark.slow),
+])
 @pytest.mark.parametrize("shape", ["45degree", "cylinder"])
 def test_sharded_c_approach_matches_unsharded(shape, mesh_shape):
     """Sharded approach step (+ psum disk integrals) == single-device.
