@@ -29,7 +29,10 @@ def main():
     from jrl_lbm_tpu.models import cylinder as cyl
 
     use_fused = os.environ.get("LBM_BENCH_FUSED", "1") != "0"
-    bf16_dev = os.environ.get("LBM_F_STORAGE", "f32") == "bf16_dev"
+    # f32 (default) | bf16_dev (round-to-nearest; fails the long-horizon
+    # physics gate) | bf16_dev_sr (stochastic rounding)
+    storage = os.environ.get("LBM_F_STORAGE", "f32")
+    bf16_dev = {"f32": False, "bf16_dev": True, "bf16_dev_sr": "sr"}[storage]
     cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
     state, fields = cyl.init(cfg)
     run = None
@@ -39,7 +42,7 @@ def main():
 
             run = fs.make_fused_cylinder_runner(cfg, bf16_dev=bf16_dev)
             if bf16_dev:
-                state = dict(state, f=fs.f_to_storage(state["f"], True))
+                state = dict(state, f=fs.f_to_storage(state["f"], bf16_dev))
         except Exception as e:  # fall back to the reference jnp path
             print(f"fused path unavailable ({e}); using jnp path", file=sys.stderr)
     if run is None:

@@ -34,6 +34,7 @@ Validated against the unfused jnp step in tests/test_fused.py.
 
 from __future__ import annotations
 
+import itertools
 from functools import partial
 
 import jax
@@ -158,6 +159,17 @@ def _mrt_apply(A, fb, feq_n, is_obs, f_out, st=None):
 # O(rho-1, u) ~ 1e-2, recovering ~1.5 decimal digits. The weight shift
 # commutes with streaming (w_q is constant per plane and w[REFL[q]] ==
 # w[q]), so load = g + w_q, store = f - w_q, everything else unchanged.
+#
+# Mode "sr" additionally rounds each store STOCHASTICALLY: round-to-
+# nearest makes the per-step rounding error systematic (finding 11: it
+# acts as added dissipation and suppresses the Re~90 shedding limit
+# cycle); stochastic rounding is unbiased, so the error accumulates as a
+# random walk instead of a drift. Implementation: add a uniform 16-bit
+# integer to the f32 bit pattern and truncate the low 16 bits (the top
+# 16 bits of an f32 ARE its bf16 representation); carries propagating
+# into the exponent round up to the next binade, which is exactly SR.
+# Requires in-kernel PRNG (pltpu.prng_*) — real-TPU only, no interpret
+# lowering exists.
 
 def _mk_ld_st(bf16_dev):
     if not bf16_dev:
@@ -166,10 +178,37 @@ def _mk_ld_st(bf16_dev):
     def ld(x, q):
         return x.astype(jnp.float32) + float(W_Q[q])
 
+    if bf16_dev == "sr":
+        def st(x, q):
+            y = x - float(W_Q[q])
+            b = jax.lax.bitcast_convert_type(y, jnp.uint32)
+            r = pltpu.prng_random_bits(y.shape)
+            if r.dtype != jnp.uint32:
+                r = jax.lax.bitcast_convert_type(r, jnp.uint32)
+            b = (b + (r & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+            return jax.lax.bitcast_convert_type(b, jnp.float32).astype(
+                jnp.bfloat16
+            )
+
+        return ld, st
+
     def st(x, q):
         return (x - float(W_Q[q])).astype(jnp.bfloat16)
 
     return ld, st
+
+
+def _seeded(kernel_body, bf16_dev):
+    """Prepend an SMEM seed ref + per-tile PRNG seeding when the storage
+    mode is stochastic-rounding."""
+    if bf16_dev != "sr":
+        return kernel_body
+
+    def kernel(seed_ref, *args):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        kernel_body(*args)
+
+    return kernel
 
 
 def f_to_storage(f, bf16_dev: bool):
@@ -389,7 +428,7 @@ def _make_full_kernel(H, W, TH, tau, inflow_density, inflow_vx, inflow_vy,
         vel_out[0] = u_x
         vel_out[1] = u_y
 
-    return kernel
+    return _seeded(kernel, bf16_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -476,7 +515,7 @@ def _make_interior_kernel(W, TH, minv_s_m, wall_density, bf16_dev=False,
             vel_out[0] = u_x
             vel_out[1] = u_y
 
-    return kernel
+    return _seeded(kernel, bf16_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -556,29 +595,36 @@ def _lean_step_rows(fp, R, W, A, wall_density, feq_in_unused=None):
     return f_out, rho_n, u_x, u_y
 
 
-def _make_interior_kernel2(W, T, minv_s_m, wall_density, write_macro=True):
+def _make_interior_kernel2(W, T, minv_s_m, wall_density, write_macro=True,
+                           bf16_dev=False):
     """Two steps per pass on T-row interior tiles. Halo inputs are whole
     (9, 8, W) neighbouring row-groups (step 2 needs step-1 values at +-1
     rows, which mix all 9 populations — the 6-plane channel-split halo
-    of the k=1 kernel no longer suffices)."""
+    of the k=1 kernel no longer suffices). Storage conversion touches
+    only the HBM edges: loads convert to f32 once, the step-1
+    intermediate stays f32 in VMEM, the single store converts back."""
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+    ld, st = _mk_ld_st(bf16_dev)
 
     def kernel(f_m, up, dn, f_out, *macro_out):
         fpad = [
-            jnp.concatenate([up[q][-2:, :], f_m[q], dn[q][:2, :]], axis=0)
+            jnp.concatenate(
+                [ld(up[q][-2:, :], q), ld(f_m[q], q), ld(dn[q][:2, :], q)],
+                axis=0,
+            )
             for q in range(9)
         ]  # (T+4, W): rows t0-2 .. t0+T+1
         f1, _, _, _ = _lean_step_rows(fpad, T + 2, W, A, wall_density)
         f2, rho_n, u_x, u_y = _lean_step_rows(f1, T, W, A, wall_density)
         for q in range(9):
-            f_out[q] = f2[q]
+            f_out[q] = f2[q] if st is None else st(f2[q], q)
         if write_macro:
             rho_out, vel_out = macro_out
             rho_out[:] = rho_n
             vel_out[0] = u_x
             vel_out[1] = u_y
 
-    return kernel
+    return _seeded(kernel, bf16_dev)
 
 
 def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
@@ -738,7 +784,7 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
 
 
 def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
-                       minv_s_m, tile_map):
+                       minv_s_m, tile_map, bf16_dev=False):
     """Two full-boundary steps per pass on BT-row band tiles. The 2-deep
     f/vel/flags halos come from the whole neighbour blocks the k=1 kernel
     already loads; phi gains +-1-row halo blocks (new inputs). Step 1 runs
@@ -746,6 +792,7 @@ def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
     2 needs."""
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
+    ld, st = _mk_ld_st(bf16_dev)
 
     def stitch2(tp, md, bt):
         return jnp.concatenate([tp[-2:, :], md, bt[:2, :]], axis=0)
@@ -758,7 +805,9 @@ def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
         f_out, rho_out, vel_out,
     ):
         t0 = tile_map(pl.program_id(0)) * BT
-        fpad = [stitch2(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]  # BT+4
+        fpad = [
+            ld(stitch2(f_tp[q], f_m[q], f_bt[q]), q) for q in range(9)
+        ]  # BT+4
         vxp = stitch2(vel_tp[0], vel_m[0], vel_bt[0])
         vyp = stitch2(vel_tp[1], vel_m[1], vel_bt[1])
         flagsp = stitch2(fl_tp[:], fl_m[:], fl_bt[:])
@@ -775,12 +824,12 @@ def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
             f1, u1x, u1y, flagsp[1 : BT + 3, :], phi_m[:], t0, BT, *args
         )
         for q in range(9):
-            f_out[q] = f2[q]
+            f_out[q] = f2[q] if st is None else st(f2[q], q)
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
 
-    return kernel
+    return _seeded(kernel, bf16_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -836,7 +885,7 @@ def _full_specs(H, W, TH, tile_map):
 def _fused_step_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
                            inflow_density, inflow_vx, inflow_vy, minv_s_m,
                            has_inflow2, b0, b1, bf16_dev=False,
-                           write_macro=True):
+                           write_macro=True, seed=None):
     """Two-call split: interior tiles of T rows (lean kernel, minimal
     halos), band tiles of BT rows (full-boundary kernel) covering
     interior-tile indices {0, b0..b1, n-1}. T and BT may differ (the
@@ -895,15 +944,19 @@ def _fused_step_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     else:
         int_out_specs = [ib3()]
         int_out_shape = [jax.ShapeDtypeStruct((9, H, W), fst)]
+    sr = bf16_dev == "sr"
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] if sr else []
+    seed_i = (seed * 2,) if sr else ()
+    seed_b = (seed * 2 + 1,) if sr else ()
     int_out = pl.pallas_call(
         ik,
         grid=(n_int,),
-        in_specs=[ib3()]
+        in_specs=smem + [ib3()]
         + [halo(q, up=True) for q in UP_Q]
         + [halo(q, up=False) for q in DN_Q],
         out_specs=int_out_specs,
         out_shape=int_out_shape,
-    )(f, f, f, f, f, f, f)
+    )(*seed_i, f, f, f, f, f, f, f)
     if write_macro:
         f1, rho1, vel1 = int_out
     else:
@@ -931,6 +984,7 @@ def _fused_step_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
         has_inflow2, band_map, bf16_dev=bf16_dev,
     )
     in_specs, _ = _full_specs(H, W, BT, band_map)
+    in_specs = smem + in_specs
     compact_out = [
         pl.BlockSpec((9, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((BT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -946,7 +1000,7 @@ def _fused_step_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
             jax.ShapeDtypeStruct((n_band * BT, W), f32),
             jax.ShapeDtypeStruct((2, n_band * BT, W), f32),
         ],
-    )(flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
+    )(*seed_b, flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
 
     # merge: band compact rows are [tile 0 | tiles b0..b1 | tile n-1]
     nb_mid = (b1 - b0 + 1) * T
@@ -984,7 +1038,8 @@ _K2_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
                             inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                            b0, b1, write_macro=False):
+                            b0, b1, write_macro=False, bf16_dev=False,
+                            seed=None):
     """Two lattice steps in one pass (temporal blocking), split into the
     same interior/band tile sets as `_fused_step_split_impl`. Halves the
     per-step f read+write HBM traffic at ~(T+2)/T redundant compute."""
@@ -1020,25 +1075,30 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     )
 
     ik = _make_interior_kernel2(W, T, minv_s_m, float(inflow_density),
-                                write_macro=write_macro)
+                                write_macro=write_macro, bf16_dev=bf16_dev)
+    fst = jnp.bfloat16 if bf16_dev else f32
+    sr = bf16_dev == "sr"
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] if sr else []
+    seed_i = (seed * 2,) if sr else ()
+    seed_b = (seed * 2 + 1,) if sr else ()
     if write_macro:
         int_out_specs = [ib3(), ib2(), ib3(2)]
         int_out_shape = [
-            jax.ShapeDtypeStruct((9, H, W), f32),
+            jax.ShapeDtypeStruct((9, H, W), fst),
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((2, H, W), f32),
         ]
     else:
         int_out_specs = [ib3()]
-        int_out_shape = [jax.ShapeDtypeStruct((9, H, W), f32)]
+        int_out_shape = [jax.ShapeDtypeStruct((9, H, W), fst)]
     int_out = pl.pallas_call(
         ik,
         grid=(n_int,),
-        in_specs=[ib3(), up_spec, dn_spec],
+        in_specs=smem + [ib3(), up_spec, dn_spec],
         out_specs=int_out_specs,
         out_shape=int_out_shape,
         compiler_params=_K2_VMEM,
-    )(f, f, f)
+    )(*seed_i, f, f, f)
     if write_macro:
         f1, rho1, vel1 = int_out
     else:
@@ -1060,7 +1120,7 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     n_band = 2 * TB + b_
     bk = _make_full_kernel2(
         H, W, BT, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
-        band_map,
+        band_map, bf16_dev=bf16_dev,
     )
     nb = H // BT
 
@@ -1095,15 +1155,15 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     f2c, rho2c, vel2c = pl.pallas_call(
         bk,
         grid=(n_band,),
-        in_specs=band_in_specs,
+        in_specs=smem + band_in_specs,
         out_specs=compact_out,
         out_shape=[
-            jax.ShapeDtypeStruct((9, n_band * BT, W), f32),
+            jax.ShapeDtypeStruct((9, n_band * BT, W), fst),
             jax.ShapeDtypeStruct((n_band * BT, W), f32),
             jax.ShapeDtypeStruct((2, n_band * BT, W), f32),
         ],
         compiler_params=_K2_VMEM,
-    )(flags, flags, flags, f, f, f, vel, vel, vel, phi, phi, phi)
+    )(*seed_b, flags, flags, flags, f, f, f, vel, vel, vel, phi, phi, phi)
 
     nb_mid = (b1 - b0 + 1) * T
 
@@ -1124,7 +1184,7 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
 
 _SPLIT2_STATIC = (
     "H", "W", "T", "BT", "tau", "inflow_density", "inflow_vx", "inflow_vy",
-    "minv_s_m", "b0", "b1", "write_macro",
+    "minv_s_m", "b0", "b1", "write_macro", "bf16_dev",
 )
 _fused_step2_split = jax.jit(_fused_step2_split_impl, static_argnames=_SPLIT2_STATIC)
 _fused_step2_split_donated = jax.jit(
@@ -1141,15 +1201,19 @@ _fused_step2_split_donated = jax.jit(
 )
 def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
                         inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                        has_inflow2, bf16_dev=False):
+                        has_inflow2, bf16_dev=False, seed=None):
     n = H // TH
     f32 = jnp.float32
     fst = jnp.bfloat16 if bf16_dev else f32
+    sr = bf16_dev == "sr"
     k = _make_full_kernel(
         H, W, TH, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
         has_inflow2, lambda i: i, bf16_dev=bf16_dev,
     )
     in_specs, out_specs = _full_specs(H, W, TH, lambda i: i)
+    if sr:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+    seed_a = (seed,) if sr else ()
     return pl.pallas_call(
         k,
         grid=(n,),
@@ -1160,7 +1224,7 @@ def _fused_step_generic(f, rho, vel, flags, phi, H, W, TH, tau,
             jax.ShapeDtypeStruct((H, W), f32),
             jax.ShapeDtypeStruct((2, H, W), f32),
         ],
-    )(flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
+    )(*seed_a, flags, flags, flags, f, f, f, vel, vel, vel, rho, phi)
 
 
 def make_macro_refresh(cfg, bf16_dev: bool = False):
@@ -1222,8 +1286,12 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
 
     skip_macro = (not write_macro) and use_split
     split_fn = _fused_step_split_donated if skip_macro else _fused_step_split
+    ctr = itertools.count(1) if bf16_dev == "sr" else None
 
     def step(state, fields):
+        seed = (
+            jnp.asarray([next(ctr)], jnp.int32) if ctr is not None else None
+        )
         common = (
             state["f"], state["rho"], state["vel"],
             fields["flags"], fields["phi_obs"],
@@ -1233,12 +1301,13 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
                 *common, H, W, T, tile_rows, float(cfg.tau),
                 float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
                 b0, b1, bf16_dev=bf16_dev, write_macro=not skip_macro,
+                seed=seed,
             )
         else:
             f, rho_new, vel_new = _fused_step_generic(
                 *common, H, W, tile_rows, float(cfg.tau),
                 float(cfg.density), 0.0, float(cfg.Vmax), minv_t, False,
-                bf16_dev=bf16_dev,
+                bf16_dev=bf16_dev, seed=seed,
             )
         return {"f": f, "rho": rho_new, "vel": vel_new}
 
@@ -1261,7 +1330,7 @@ def _choose_interior_T(cfg, tile_rows, interior_rows):
 
 
 def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
-                     write_macro: bool = False):
+                     write_macro: bool = False, bf16_dev=False):
     """Double-step (temporal blocking): advances the state by TWO lattice
     steps per call, halving the per-step f HBM traffic. Split geometry
     only (returns None when the domain can't split); the 4-row band
@@ -1279,13 +1348,18 @@ def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
     minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
     minv_t = tuple(tuple(float(x) for x in row) for row in minv_s_m)
     fn = _fused_step2_split if write_macro else _fused_step2_split_donated
+    ctr = itertools.count(1) if bf16_dev == "sr" else None
 
     def step2(state, fields):
+        seed = (
+            jnp.asarray([next(ctr)], jnp.int32) if ctr is not None else None
+        )
         f, rho_new, vel_new = fn(
             state["f"], state["rho"], state["vel"],
             fields["flags"], fields["phi_obs"],
             H, W, T, tile_rows, float(cfg.tau), float(cfg.density),
             0.0, float(cfg.Vmax), minv_t, b0, b1, write_macro=write_macro,
+            bf16_dev=bf16_dev, seed=seed,
         )
         return {"f": f, "rho": rho_new, "vel": vel_new}
 
@@ -1313,9 +1387,9 @@ def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
                            interior_rows=interior_rows, bf16_dev=bf16_dev,
                            write_macro=write_macro)
     step2 = None
-    if split and not bf16_dev:
+    if split:
         step2 = make_fused_step2(cfg, tile_rows, interior_rows=interior_rows,
-                                 write_macro=write_macro)
+                                 write_macro=write_macro, bf16_dev=bf16_dev)
     skip = step.skip_macro or (step2 is not None and step2.skip_macro)
     refresh = make_macro_refresh(cfg, bf16_dev=bf16_dev) if skip else None
 
