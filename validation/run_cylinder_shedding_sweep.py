@@ -42,6 +42,12 @@ CASES = {
     "b025_bf16": dict(res=(1600, 800), Re=10000.0, D=20.0,
                       cylinder_center=(400.0, 200.0), warmup=150000,
                       every=50, bf16_dev=True),
+    # stochastic-rounding physics gate: round-to-nearest bf16 suppressed
+    # the limit cycle (cylinder_shedding_b025_bf16.json); SR's unbiased
+    # rounding must restore it (St/Cd matching the f32 lowblock run)
+    "b025_bf16sr": dict(res=(1600, 800), Re=10000.0, D=20.0,
+                        cylinder_center=(400.0, 200.0), warmup=150000,
+                        every=50, bf16_dev="sr"),
 }
 
 
@@ -59,7 +65,7 @@ def main(case: str):
     state = perturb_wake(state, cfg)
     run = fs.make_fused_cylinder_runner(cfg, bf16_dev=bf16_dev)
     if bf16_dev:
-        state = dict(state, f=fs.f_to_storage(state["f"], True))
+        state = dict(state, f=fs.f_to_storage(state["f"], bf16_dev))
 
     n_samples = 1000
     state = run(state, fields, warmup)
@@ -71,7 +77,7 @@ def main(case: str):
     px, py = int(cx), int(cy + 4 * cfg.D)
     for k in range(n_samples):
         state = run(state, fields, every)
-        dstate = (dict(state, f=fs.f_from_storage(state["f"], True))
+        dstate = (dict(state, f=fs.f_from_storage(state["f"], bf16_dev))
                   if bf16_dev else state)
         fx, fy = cyl.drag_lift(dstate, fields, cfg)
         lifts.append((float(fx), float(fy)))
