@@ -9,10 +9,13 @@ import os
 
 from tqdm import tqdm
 
+from _common import demo_path  # noqa: F401  (installs the repo sys.path)
 from jrl_lbm_tpu.utils.io import dump_2d_plt_file_C_rho, read_2d_plt_file_C_rho
 
 
 def main(data_path: str):
+    if not os.path.isabs(data_path):
+        data_path = os.path.join(demo_path(), data_path)
     files = [f for f in os.listdir(data_path) if f.endswith(".dat")]
     print(files)
     for fn in tqdm(files):
