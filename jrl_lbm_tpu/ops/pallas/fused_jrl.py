@@ -756,8 +756,31 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
                 return jnp.where(at_yH, pltpu.roll(a, 1, axis=AY), vv)
             return vv
 
+        def conv_vel(step_idx, walks_int):
+            """Stored-velocity interpolation at a step (in-kernel frame
+            pick); shared by the step body and the post-loop record
+            recomputation."""
+            x_comp = step_idx * v
+            b_g = jnp.clip(
+                jnp.floor(x_comp / x_interval), 0.0, float(n_frames - 1)
+            )
+            t = x_comp / x_interval - b_g
+            if hoist_frames:
+                f0, f1 = fh0, fh1
+            else:
+                b_rel = (b_g - b0w).astype(jnp.int32)
+                f0 = win_ref[b_rel]
+                f1 = win_ref[jnp.minimum(b_rel + 1, K - 1)]
+            use_lerp = b_g + 1.0 < float(n_frames)
+            u0 = jnp.where(use_lerp, f0[0] * (1.0 - t) + f1[0] * t, f0[0])
+            u1 = jnp.where(use_lerp, f0[1] * (1.0 - t) + f1[1] * t, f0[1])
+            tip_block = (iy < walks_int) & (ix < jnp.int32(rg))
+            cv0 = jnp.where(tip_block, 0.0, u0 * v)
+            cv1 = jnp.where(tip_block, v, u1 * v)
+            return cv0, cv1
+
         def step(i, carry):
-            h, C, inflow_s, current_s, rec_u, rec_v = carry
+            h, C, acc_in, acc_cur = carry
             hq = [h[q] for q in range(9)]
             step_idx = start + i.astype(jnp.float32)
             walks = inflow_h + step_idx * v
@@ -793,23 +816,7 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
             of_mask = flags == OUTFLOW
 
             # ---- stored-velocity interpolation (in-kernel frame pick) ----
-            x_comp = step_idx * v
-            b_g = jnp.clip(
-                jnp.floor(x_comp / x_interval), 0.0, float(n_frames - 1)
-            )
-            t = x_comp / x_interval - b_g
-            if hoist_frames:
-                f0, f1 = fh0, fh1
-            else:
-                b_rel = (b_g - b0w).astype(jnp.int32)
-                f0 = win_ref[b_rel]
-                f1 = win_ref[jnp.minimum(b_rel + 1, K - 1)]
-            use_lerp = b_g + 1.0 < float(n_frames)
-            u0 = jnp.where(use_lerp, f0[0] * (1.0 - t) + f1[0] * t, f0[0])
-            u1 = jnp.where(use_lerp, f0[1] * (1.0 - t) + f1[1] * t, f0[1])
-            tip_block = (iy < walks_int) & (ix < jnp.int32(rg))
-            cv0 = jnp.where(tip_block, 0.0, u0 * v)
-            cv1 = jnp.where(tip_block, v, u1 * v)
+            cv0, cv1 = conv_vel(step_idx, walks_int)
 
             def pull_both(a, ex, ey):
                 vf = syp(sxp(a, ex, True), ey, True)
@@ -883,39 +890,41 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
                 h_out_l.append(jnp.where(is_obs, h_new[q], collided))
 
             # ---- tip-disk integrals (`C_ethaline:364-385`) ----
+            # accumulated as masked VECTORS: a per-step scalar jnp.sum
+            # would put a cross-lane reduction on the loop-carry critical
+            # path every step; the final scalar is reduced once after the
+            # loop (sum over steps and cells commutes)
             if flat:
                 # flux form dC_z + dC_r (`C_cylinder:344-358`)
                 Cm1 = pltpu.roll(C_n, 1, axis=AY)  # C[row-1] at row
                 rC = xs * C_n
                 rC_next = pltpu.roll(rC, W - 1, axis=AX)  # rC[col+1] at col
                 dC = (C_n - Cm1) + (rC_next - rC) / xs
-                new_inflow = jnp.sum(
-                    jnp.where(iy == walks_int, dC * area_w, 0.0)
-                )
-                new_current = jnp.sum(
-                    jnp.where(iy == walks_int + 1, dC * area_w, 0.0)
-                )
+                intg = dC
             else:
-                new_inflow = jnp.sum(
-                    jnp.where(iy == walks_int, C_n * area_w, 0.0)
-                )
-                new_current = jnp.sum(
-                    jnp.where(iy == walks_int + 1, C_n * area_w, 0.0)
-                )
-            rec_u = jnp.sum(jnp.where(iy == walks_int + 1, cv0 * area_w, 0.0))
-            rec_v = jnp.sum(jnp.where(iy == walks_int + 1, cv1 * area_w, 0.0))
-
-            return (
-                jnp.stack(h_out_l), C_n,
-                inflow_s + new_inflow, current_s + new_current, rec_u, rec_v,
+                intg = C_n
+            acc_in = acc_in + jnp.where(iy == walks_int, intg * area_w, 0.0)
+            acc_cur = acc_cur + jnp.where(
+                iy == walks_int + 1, intg * area_w, 0.0
             )
 
-        z = jnp.zeros((), jnp.float32)
-        hN, cN, infl, curr, ru, rv = jax.lax.fori_loop(
-            0, n_steps, step, (h_ref[:], c_ref[:], z, z, z, z)
+            return (jnp.stack(h_out_l), C_n, acc_in, acc_cur)
+
+        zv = jnp.zeros(SHP, jnp.float32)
+        hN, cN, acc_in, acc_cur = jax.lax.fori_loop(
+            0, n_steps, step, (h_ref[:], c_ref[:], zv, zv)
         )
         h_out[:] = hN
         c_out[:] = cN
+        infl = jnp.sum(acc_in)
+        curr = jnp.sum(acc_cur)
+        # record velocities: only the LAST step's value is consumed, so
+        # recompute it once post-loop instead of reducing every step
+        last_idx = start + float(n_steps - 1)
+        last_wi = jnp.floor(inflow_h + last_idx * v + 0.5).astype(jnp.int32)
+        cv0L, cv1L = conv_vel(last_idx, last_wi)
+        ru = jnp.sum(jnp.where(iy == last_wi + 1, cv0L * area_w, 0.0))
+        rv = jnp.sum(jnp.where(iy == last_wi + 1, cv1L * area_w, 0.0))
         # lane-mask construction ( .at[].set scalar scatter has no Mosaic
         # lowering): acc[0, 0..3] = (inflow, current, rec_u, rec_v)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
