@@ -181,23 +181,42 @@ def c_main(
     # ---- phase A: balance (checkpointed) ----
     h5_C = f"{path}/{prefix}/C_balance{positive_fix}.h5"
     balance_name = dir_path + "balance.txt"
-    with open(balance_name, "w") as fo:
-        fo.write("Step Inflow\n")
 
     if os.path.exists(h5_C):
+        with open(balance_name, "w") as fo:
+            fo.write("Step Inflow\n")
         C_np, h_np = load_balance_h5(h5_C)
         state = {"C": jnp.asarray(C_np), "h": jnp.asarray(h_np)}
     else:
+        # partial checkpoint: production balance phases run for 1e9+
+        # steps; persist state every ~10 intervals so an interrupted run
+        # (preemption, tunnel failure) resumes instead of restarting
+        import json as _json
+
+        partial = h5_C + ".partial"
+        pmeta = partial + ".json"
+        start_done = 0
+        if os.path.exists(partial) and os.path.exists(pmeta):
+            with open(pmeta) as fo:
+                start_done = int(_json.load(fo)["done"])
+            C_np, h_np = load_balance_h5(partial)
+            state = {"C": jnp.asarray(C_np), "h": jnp.asarray(h_np)}
+            print(f"resuming balance from step {start_done}")
+        else:
+            with open(balance_name, "w") as fo:
+                fo.write("Step Inflow\n")
+
         run_bal = jrl.pick_balance_runner(cfg, flags)
         steps = cfg.balance_steps
         interval = max(1, steps // 100)
-        done = 0
+        done = start_done
         walks_int = cfg.inflow_height_int
-        rng_it = range(0, steps, interval)
+        rng_it = range(start_done, steps, interval)
         if progress:
             from tqdm import tqdm
 
             rng_it = tqdm(rng_it)
+        k = 0
         for s0 in rng_it:
             n = min(interval, steps - done)
             state = run_bal(state, fields, n)
@@ -208,7 +227,15 @@ def c_main(
             )
             with open(balance_name, "a+") as fo:
                 fo.write("{} {}\n".format(done * cfg.dt_conv_real, inflow))
+            k += 1
+            if k % 10 == 0 and done < steps:
+                save_balance_h5(partial, C_np, np.asarray(state["h"]))
+                with open(pmeta, "w") as fo:
+                    _json.dump({"done": done}, fo)
         save_balance_h5(h5_C, np.asarray(state["C"]), np.asarray(state["h"]))
+        for p in (partial, pmeta):
+            if os.path.exists(p):
+                os.remove(p)
 
     save_img(np.asarray(state["C"]), dir_path + "C_000.png")
 

@@ -1,12 +1,22 @@
 """Re x Pe sweep for the approach-curve study.
 
 Port of `demo/batch_Pe.py` with the reference's water/ethaline property
-tables and Re/Pe lists. Runs in-process.
+tables and Re/Pe lists (`/root/reference/demo/batch_Pe.py:9-52`). Runs
+in-process on the fused TPU kernels instead of the reference's
+`os.system` per-case subprocess loop.
+
+`--skip_existing` makes the sweep resumable: a case whose record file is
+already on disk is skipped (the same skip-if-exists contract the
+reference applies to the fluid h5 and balance h5 artifacts, extended to
+the records so an interrupted production run restarts where it stopped).
 """
 
 import argparse
+import os
+import time
 
-from _jrl_main import c_main, fluid_main
+from _common import demo_path
+from _jrl_main import _c_prefix, c_main, fluid_main
 
 mus = {"water": 0.89e-3, "ethaline": 45.23e-3}
 rhos = {"water": 1e3, "ethaline": 1.11614e3}
@@ -15,7 +25,19 @@ viscs = {"water": 0.89e-6, "ethaline": mus["ethaline"] / rhos["ethaline"]}
 shapes = {"water": "45degree", "ethaline": "ethaline"}
 
 
-def main(fluid: str, is_negative: bool, res=(128, 64)):
+def record_file(fluid, shape, res, Re, Pe, is_negative, g_real=-9.8):
+    """Record path for a case (must mirror `_jrl_main.c_main`)."""
+    positive_fix = "" if is_negative else "_positive"
+    prefix = _c_prefix(shape, fluid, g_real)
+    eff_min = min(res)
+    return (
+        f"{demo_path()}/{prefix}/records{positive_fix}/"
+        f"record_res{eff_min}_Re{Re}_Pe{int(Pe * 10000)}.txt"
+    )
+
+
+def main(fluid: str, is_negative: bool, res=(128, 64), skip_existing=False,
+         progress=True):
     visc = viscs[fluid]
     shape = shapes[fluid]
     radius_obs = 12.5e-6
@@ -30,19 +52,38 @@ def main(fluid: str, is_negative: bool, res=(128, 64)):
     else:
         raise NotImplementedError(f"Not implemented for fluid {fluid}")
 
+    t_sweep = time.time()
+    n_done = 0
+    n_total = len(Res) * len(Pes)
     for Re in Res:
         for Pe in Pes:
             vel_obs = Re * visc / radius_obs
-            print(f"Re={Re} Pe={Pe}")
+            t_case = time.time()
+            rec = record_file(fluid, shape, tuple(res), Re, Pe, is_negative)
+            if skip_existing and os.path.exists(rec):
+                n_done += 1
+                print(f"[batch_Pe] skip existing Re={Re} Pe={Pe} "
+                      f"({n_done}/{n_total})", flush=True)
+                continue
+            print(f"[batch_Pe] Re={Re} Pe={Pe} ({n_done + 1}/{n_total}, "
+                  f"t={time.time() - t_sweep:.0f}s)", flush=True)
             fluid_main(
                 shape=shape, res=res, Re=Re, vel_obs_real=vel_obs,
                 gravity_strength_real=-9.8, Rg=4, fluid=fluid,
+                progress=progress,
             )
             c_main(
                 shape=shape, res=res, balance_time=600, Re=Re, Pe=Pe,
                 vel_obs_real=vel_obs, gravity_strength_real=-9.8, Rg=4,
-                fluid=fluid, is_negative=is_negative,
+                fluid=fluid, is_negative=is_negative, progress=progress,
             )
+            n_done += 1
+            print(f"[batch_Pe] done Re={Re} Pe={Pe} in "
+                  f"{time.time() - t_case:.0f}s "
+                  f"({n_done}/{n_total}, total {time.time() - t_sweep:.0f}s)",
+                  flush=True)
+    print(f"[batch_Pe] sweep complete: {n_done}/{n_total} cases, "
+          f"{time.time() - t_sweep:.0f}s wall", flush=True)
 
 
 if __name__ == "__main__":
@@ -53,7 +94,9 @@ if __name__ == "__main__":
     parser.add_argument("--res", type=int, nargs="+", default=[128, 64])
     parser.add_argument("--is_negative", dest="is_negative", action="store_true")
     parser.add_argument("--no-is_negative", dest="is_negative", action="store_false")
-    parser.set_defaults(is_negative=True)
+    parser.add_argument("--skip_existing", action="store_true")
+    parser.add_argument("--no-progress", dest="progress", action="store_false")
+    parser.set_defaults(is_negative=True, progress=True)
     opt = vars(parser.parse_args())
     print(opt)
     main(**opt)

@@ -38,6 +38,7 @@ rho_init * gravity field the demos build once at init (rho_init == 1).
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -106,9 +107,38 @@ def _want_transposed(cfg) -> bool:
     return W < 128
 
 
-def _make_jrl_fluid_kernel(cfg, n_steps, transposed=False):
-    """Kernel body closure. All cfg-derived quantities are Python floats
-    (baked into the kernel); only (f, rho, vel, start_step) are traced."""
+class _FluidKey(NamedTuple):
+    """Config fields the fluid kernel bakes in (jit/Mosaic cache key);
+    the step count is an SMEM scalar so segment lengths don't multiply
+    kernel variants."""
+
+    eff_res: tuple
+    tau: float
+    vel_obs: float
+    Rg_radius: int
+    box_radius: float
+    inflow_height: float
+    gravity_strength: float
+    shape: str
+
+
+def _fluid_key(cfg) -> "_FluidKey":
+    return _FluidKey(
+        eff_res=tuple(cfg.eff_res),
+        tau=float(cfg.tau),
+        vel_obs=float(cfg.vel_obs),
+        Rg_radius=int(cfg.Rg_radius),
+        box_radius=float(cfg.box_radius),
+        inflow_height=float(cfg.inflow_height),
+        gravity_strength=float(cfg.gravity_strength),
+        shape=str(cfg.shape),
+    )
+
+
+def _make_jrl_fluid_kernel(cfg, transposed=False):
+    """Kernel body closure (`cfg` is a `_FluidKey`). All cfg-derived
+    quantities are Python floats (baked into the kernel); only
+    (f, rho, vel, start_step, n) are traced."""
     H, W = cfg.eff_res
     SHP, AY, AX = _layout(H, W, transposed)
     tau = float(cfg.tau)
@@ -122,7 +152,8 @@ def _make_jrl_fluid_kernel(cfg, n_steps, transposed=False):
     flat = cfg.shape in ("cylinder", "infiniteplane")
     eps = 1e-10
 
-    def kernel(start_ref, f_ref, rho_ref, vel_ref, f_out, rho_out, vel_out):
+    def kernel(start_ref, n_ref, f_ref, rho_ref, vel_ref,
+               f_out, rho_out, vel_out):
         iy = jax.lax.broadcasted_iota(jnp.int32, SHP, AY)
         ix = jax.lax.broadcasted_iota(jnp.int32, SHP, AX)
         at_x0 = ix == 0
@@ -444,7 +475,7 @@ def _make_jrl_fluid_kernel(cfg, n_steps, transposed=False):
         v0 = vel_ref[0]
         v1 = vel_ref[1]
         fN, rhoN, u0N, u1N = jax.lax.fori_loop(
-            0, n_steps, step, (f0, rho0, v0, v1)
+            0, n_ref[0, 0], step, (f0, rho0, v0, v1)
         )
         f_out[:] = fN
         rho_out[:] = rhoN
@@ -454,16 +485,18 @@ def _make_jrl_fluid_kernel(cfg, n_steps, transposed=False):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n", "transposed"))
-def _fused_fluid_run(f, rho, vel, start_step, cfg, n, transposed=False):
-    H, W = cfg.eff_res
+@partial(jax.jit, static_argnames=("key", "transposed"))
+def _fused_fluid_run(f, rho, vel, start_step, n, key, transposed=False):
+    H, W = key.eff_res
     SHP, _, _ = _layout(H, W, transposed)
-    kernel = _make_jrl_fluid_kernel(cfg, n, transposed)
+    kernel = _make_jrl_fluid_kernel(key, transposed)
     start = jnp.asarray(start_step, jnp.float32).reshape(1, 1)
+    n_i = jnp.asarray(n, jnp.int32).reshape(1, 1)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -480,7 +513,7 @@ def _fused_fluid_run(f, rho, vel, start_step, cfg, n, transposed=False):
             jax.ShapeDtypeStruct((2,) + SHP, f32),
         ],
         compiler_params=_VMEM_PARAMS,
-    )(start, f, rho, vel)
+    )(start, n_i, f, rho, vel)
 
 
 def fits_vmem(cfg) -> bool:
@@ -488,8 +521,16 @@ def fits_vmem(cfg) -> bool:
     return H * W <= MAX_FUSED_CELLS
 
 
-def _make_balance_kernel(cfg, n_steps, transposed=False):
-    """C-lattice balance-phase kernel: zero velocity, fixed flags.
+class _BalanceKey(NamedTuple):
+    """Config fields the balance kernel bakes in (jit/Mosaic cache key)."""
+
+    eff_res: tuple
+    tau_D: float
+
+
+def _make_balance_kernel(cfg, transposed=False):
+    """C-lattice balance-phase kernel: zero velocity, fixed flags
+    (`cfg` is a `_BalanceKey`; the step count is an SMEM scalar).
 
     Per step (== `models/jrl.py::make_balance_step`): stream h with the
     flag BCs (half-way bounce, INFLOW C=0 sink, INFLOW_2 C=1 reservoir,
@@ -505,7 +546,7 @@ def _make_balance_kernel(cfg, n_steps, transposed=False):
     inv_tau = 1.0 / tau_D
     rate_coef = 1.0 - 0.5 / tau_D
 
-    def kernel(flags_ref, h_ref, c_ref, h_out, c_out):
+    def kernel(n_ref, flags_ref, h_ref, c_ref, h_out, c_out):
         iy = jax.lax.broadcasted_iota(jnp.int32, SHP, AY)
         ix = jax.lax.broadcasted_iota(jnp.int32, SHP, AX)
         at_x0 = ix == 0
@@ -611,29 +652,31 @@ def _make_balance_kernel(cfg, n_steps, transposed=False):
                 h_out_l.append(jnp.where(is_obs, h_new[q], collided))
             return (jnp.stack(h_out_l), C_n)
 
-        hN, cN = jax.lax.fori_loop(0, n_steps, step, (h_ref[:], c_ref[:]))
+        hN, cN = jax.lax.fori_loop(0, n_ref[0, 0], step, (h_ref[:], c_ref[:]))
         h_out[:] = hN
         c_out[:] = cN
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n", "transposed"))
-def _fused_balance_run(h, C, flags, cfg, n, transposed=False):
-    H, W = cfg.eff_res
+@partial(jax.jit, static_argnames=("key", "transposed"))
+def _fused_balance_run(h, C, flags, n, key, transposed=False):
+    H, W = key.eff_res
     SHP, _, _ = _layout(H, W, transposed)
-    kernel = _make_balance_kernel(cfg, n, transposed)
+    kernel = _make_balance_kernel(key, transposed)
+    n_i = jnp.asarray(n, jnp.int32).reshape(1, 1)
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((9,) + SHP, f32),
             jax.ShapeDtypeStruct(SHP, f32),
         ],
         compiler_params=_VMEM_PARAMS,
-    )(flags, h, C)
+    )(n_i, flags, h, C)
 
 
 def make_fused_balance_runner(cfg, flags):
@@ -646,14 +689,23 @@ def make_fused_balance_runner(cfg, flags):
 
     tr = _want_transposed(cfg)
     bound_flags = _t2(flags) if tr else flags
+    key = _BalanceKey(eff_res=tuple(cfg.eff_res), tau_D=float(cfg.tau_D))
+    # keep single kernel dispatches under ~20 s on the tunnel (a
+    # production balance interval can be ~9e7 steps); the chunk calls
+    # queue without host syncs, so this costs only dispatch
+    chunk = 16_777_216
 
     def run(state, fields, n: int):
         del fields
         h, C = state["h"], state["C"]
         if tr:
             h, C = _t2(h), _t2(C)
-        h, C = _fused_balance_run(h, C, bound_flags, cfg, int(n),
-                                  transposed=tr)
+        left = int(n)
+        while left > 0:
+            m = min(left, chunk)
+            h, C = _fused_balance_run(h, C, bound_flags, m, key,
+                                      transposed=tr)
+            left -= m
         if tr:
             h, C = _t2(h), _t2(C)
         return {"C": C, "h": h}
@@ -661,19 +713,68 @@ def make_fused_balance_runner(cfg, flags):
     return run
 
 
-# Max stored-velocity frames held in VMEM per kernel call (a window of
-# K frames is 2*K*H*W*4 bytes: ~1 MB at 128x64 with K=16). A run() call
-# spanning more frames is split into ceil(span / (K-1)) kernel calls.
+# Min/max stored-velocity frames held in VMEM per kernel call (a window
+# of K frames is 2*K*H*W*4 bytes). A run() call spanning more frames is
+# split into ceil(span / (K-1)) kernel calls, so K bounds the steps one
+# dispatch can cover: at high Pe (short frame intervals) a small window
+# makes the path dispatch-bound. _approach_window() sizes K to ~16 MB.
 APPROACH_FRAME_WINDOW = 16
+_APPROACH_WINDOW_BYTES = 16 * 1024 * 1024
 
 
-def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
-                          transposed=False):
+def _approach_window(H: int, W: int) -> int:
+    frame_bytes = 2 * H * W * 4
+    return max(
+        APPROACH_FRAME_WINDOW, min(128, _APPROACH_WINDOW_BYTES // frame_bytes)
+    )
+
+
+class _CApproachKey(NamedTuple):
+    """Exactly the config fields the approach kernel bakes in — the jit/
+    Mosaic cache key. Deliberately EXCLUDES Re (the C-lattice kernel does
+    not depend on it) and the step/frame counts (passed as SMEM scalars),
+    so a whole Re x Pe sweep compiles one kernel variant per Pe instead
+    of one per (case, segment length, frame count)."""
+
+    eff_res: tuple
+    tau_D: float
+    vel_obs_conv: float
+    Rg_radius: int
+    box_radius: float
+    inflow_height: float
+    inflow_height_int: int
+    radius_obs_int: int
+    flat: bool
+    is_negative: bool
+
+
+def _c_approach_key(cfg) -> "_CApproachKey":
+    return _CApproachKey(
+        eff_res=tuple(cfg.eff_res),
+        tau_D=float(cfg.tau_D),
+        vel_obs_conv=float(cfg.vel_obs_conv),
+        Rg_radius=int(cfg.Rg_radius),
+        box_radius=float(cfg.box_radius),
+        inflow_height=float(cfg.inflow_height),
+        inflow_height_int=int(cfg.inflow_height_int),
+        radius_obs_int=int(cfg.radius_obs_int),
+        flat=cfg.shape in ("cylinder", "infiniteplane"),
+        is_negative=bool(cfg.is_negative),
+    )
+
+
+def _make_approach_kernel(cfg, K, transposed=False):
     """C-lattice approach-phase kernel over a window of K stored-velocity
-    frames held in VMEM; the per-step frame index b = clip(floor(x/0.1),
-    0, n_frames-1) is computed in-kernel and the frame pair is read with
-    a dynamic leading-dim ref index, so one call spans a whole dump
-    stretch regardless of Pe.
+    frames held in VMEM (`cfg` is a `_CApproachKey`). The per-step frame
+    index b = clip(floor(x/0.1), 0, n_frames-1) is monotone in the step
+    index, so the call is run as an outer while-loop over constant-frame
+    INTERVALS: each interval loads its frame pair once with a dynamic
+    leading-dim ref index, finds the interval end by exact scalar binary
+    search on the same f32 arithmetic, and runs the steps in an inner
+    fori_loop whose body has NO dynamic loads. (A per-step dynamic window
+    read serialized Mosaic's pipeline: 23.7 us/step vs ~2 us for the
+    other fused JRL paths.) The step count n and frame count n_frames are
+    SMEM scalars, so segment lengths don't multiply kernel variants.
 
     Per step (== `models/jrl.py::make_approach_step`): tip geometry from
     the walk position (strict phi<0 for wedge shapes, rectangular block
@@ -694,14 +795,14 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
     inflow_h = float(cfg.inflow_height)
     inflow_h_int = int(cfg.inflow_height_int)
     rint = int(cfg.radius_obs_int)
-    flat = cfg.shape in ("cylinder", "infiniteplane")
+    flat = bool(cfg.flat)
     is_neg = bool(cfg.is_negative)
     x_interval = 0.1
     eps = 1e-10
     import math as _math
 
     def kernel(
-        start_ref, b0w_ref, base_ref, win_ref, h_ref, c_ref,
+        start_ref, b0w_ref, ni_ref, base_ref, win_ref, h_ref, c_ref,
         h_out, c_out, acc_out,
     ):
         iy = jax.lax.broadcasted_iota(jnp.int32, SHP, AY)
@@ -722,17 +823,17 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
         base_flags = base_ref[:]
         start = start_ref[0, 0]
         b0w = b0w_ref[0, 0]  # global frame index of window slot 0
+        n_s = ni_ref[0, 0]  # steps this call
+        nf_f = ni_ref[0, 1].astype(jnp.float32)  # stored frame count
         init_block = (iy < inflow_h_int) & (ix < jnp.int32(rg))
 
-        if hoist_frames:
-            # the host guarantees the frame index is constant over this
-            # call (long frame intervals): load the pair once
-            bh = jnp.clip(
-                jnp.floor(start * v / x_interval), 0.0, float(n_frames - 1)
+        def frame_at(i_f32):
+            """Per-step frame index (must match the host/unfused f32
+            arithmetic exactly)."""
+            return jnp.clip(
+                jnp.floor((start + i_f32) * v / x_interval),
+                0.0, nf_f - 1.0,
             )
-            bh_rel = (bh - b0w).astype(jnp.int32)
-            fh0 = win_ref[bh_rel]
-            fh1 = win_ref[jnp.minimum(bh_rel + 1, K - 1)]
 
         def sxp(a, ex, fluid):
             if ex == 0:
@@ -756,22 +857,25 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
                 return jnp.where(at_yH, pltpu.roll(a, 1, axis=AY), vv)
             return vv
 
-        def conv_vel(step_idx, walks_int):
-            """Stored-velocity interpolation at a step (in-kernel frame
-            pick); shared by the step body and the post-loop record
+        def load_pair(b_g):
+            """Dynamic window read of the frame pair for frame index b_g
+            (outer loop / post-loop only — never in the hot step body)."""
+            b_rel = (b_g - b0w).astype(jnp.int32)
+            f0 = win_ref[b_rel]
+            f1 = win_ref[jnp.minimum(b_rel + 1, K - 1)]
+            return f0, f1
+
+        def conv_vel(step_idx, walks_int, f0, f1):
+            """Stored-velocity interpolation at a step, with the frame
+            pair (f0, f1) for the step's frame index supplied by the
+            caller; shared by the step body and the post-loop record
             recomputation."""
             x_comp = step_idx * v
             b_g = jnp.clip(
-                jnp.floor(x_comp / x_interval), 0.0, float(n_frames - 1)
+                jnp.floor(x_comp / x_interval), 0.0, nf_f - 1.0
             )
             t = x_comp / x_interval - b_g
-            if hoist_frames:
-                f0, f1 = fh0, fh1
-            else:
-                b_rel = (b_g - b0w).astype(jnp.int32)
-                f0 = win_ref[b_rel]
-                f1 = win_ref[jnp.minimum(b_rel + 1, K - 1)]
-            use_lerp = b_g + 1.0 < float(n_frames)
+            use_lerp = b_g + 1.0 < nf_f
             u0 = jnp.where(use_lerp, f0[0] * (1.0 - t) + f1[0] * t, f0[0])
             u1 = jnp.where(use_lerp, f0[1] * (1.0 - t) + f1[1] * t, f0[1])
             tip_block = (iy < walks_int) & (ix < jnp.int32(rg))
@@ -779,7 +883,7 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
             cv1 = jnp.where(tip_block, v, u1 * v)
             return cv0, cv1
 
-        def step(i, carry):
+        def step_at(i, carry, f0, f1):
             h, C, acc_in, acc_cur = carry
             hq = [h[q] for q in range(9)]
             step_idx = start + i.astype(jnp.float32)
@@ -815,8 +919,8 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
             in2_mask = flags == int(CellType.INFLOW_2)
             of_mask = flags == OUTFLOW
 
-            # ---- stored-velocity interpolation (in-kernel frame pick) ----
-            cv0, cv1 = conv_vel(step_idx, walks_int)
+            # ---- stored-velocity interpolation (interval frame pair) ----
+            cv0, cv1 = conv_vel(step_idx, walks_int, f0, f1)
 
             def pull_both(a, ex, ey):
                 vf = syp(sxp(a, ex, True), ey, True)
@@ -910,9 +1014,43 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
 
             return (jnp.stack(h_out_l), C_n, acc_in, acc_cur)
 
+        def outer_cond(carry):
+            return carry[0] < n_s
+
+        def outer_body(carry):
+            s_rel, h, C, acc_in, acc_cur = carry
+            b_g = frame_at(s_rel.astype(jnp.float32))
+            f0, f1 = load_pair(b_g)
+            # interval end = first step index > s_rel whose frame index
+            # differs (frame_at is monotone nondecreasing): exact
+            # lower-bound binary search on the same f32 arithmetic the
+            # steps use, so no step ever runs with a stale pair
+            def bs(_, lohi):
+                lo, hi = lohi
+                active = lo < hi
+                mid = (lo + hi) // 2
+                same = frame_at(mid.astype(jnp.float32)) == b_g
+                return (
+                    jnp.where(active & same, mid + 1, lo),
+                    jnp.where(active & ~same, mid, hi),
+                )
+
+            seg_end, _ = jax.lax.fori_loop(
+                0, 32, bs, (s_rel + 1, n_s)
+            )
+
+            def istep(i, cc):
+                return step_at(i, cc, f0, f1)
+
+            h, C, acc_in, acc_cur = jax.lax.fori_loop(
+                s_rel, seg_end, istep, (h, C, acc_in, acc_cur)
+            )
+            return (seg_end, h, C, acc_in, acc_cur)
+
         zv = jnp.zeros(SHP, jnp.float32)
-        hN, cN, acc_in, acc_cur = jax.lax.fori_loop(
-            0, n_steps, step, (h_ref[:], c_ref[:], zv, zv)
+        _, hN, cN, acc_in, acc_cur = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (jnp.int32(0), h_ref[:], c_ref[:], zv, zv),
         )
         h_out[:] = hN
         c_out[:] = cN
@@ -920,9 +1058,11 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
         curr = jnp.sum(acc_cur)
         # record velocities: only the LAST step's value is consumed, so
         # recompute it once post-loop instead of reducing every step
-        last_idx = start + float(n_steps - 1)
+        last_rel = (n_s - 1).astype(jnp.float32)
+        last_idx = start + last_rel
         last_wi = jnp.floor(inflow_h + last_idx * v + 0.5).astype(jnp.int32)
-        cv0L, cv1L = conv_vel(last_idx, last_wi)
+        f0L, f1L = load_pair(frame_at(last_rel))
+        cv0L, cv1L = conv_vel(last_idx, last_wi, f0L, f1L)
         ru = jnp.sum(jnp.where(iy == last_wi + 1, cv0L * area_w, 0.0))
         rv = jnp.sum(jnp.where(iy == last_wi + 1, cv1L * area_w, 0.0))
         # lane-mask construction ( .at[].set scalar scatter has no Mosaic
@@ -938,19 +1078,30 @@ def _make_approach_kernel(cfg, n_steps, K, n_frames, hoist_frames,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("cfg", "n", "K", "n_frames", "hoist",
-                                   "transposed"))
-def _fused_approach_run(h, C, base_flags, window, start_step, b0w,
-                        cfg, n, K, n_frames, hoist, transposed=False):
-    H, W = cfg.eff_res
+@partial(jax.jit, static_argnames=("key", "K", "transposed"))
+def _fused_approach_seg(h, C, base_flags, frames, start_step, b0w,
+                        n, n_frames, infl, curr, key, K, transposed=False):
+    """One windowed segment: window slice + kernel + accumulator merge,
+    ALL inside one jit. (Eager glue ops between kernel calls cost
+    ~9-28 ms EACH to dispatch on the axon tunnel — a per-call slice plus
+    four accumulator reads made the high-Pe approach path ~10x slower
+    than the kernel itself.)"""
+    H, W = key.eff_res
     SHP, _, _ = _layout(H, W, transposed)
-    kernel = _make_approach_kernel(cfg, n, K, n_frames, hoist, transposed)
+    kernel = _make_approach_kernel(key, K, transposed)
     f32 = jnp.float32
+    window = jax.lax.dynamic_slice_in_dim(
+        frames, jnp.asarray(b0w, jnp.int32), K, axis=0
+    )
     start = jnp.asarray(start_step, f32).reshape(1, 1)
     b0 = jnp.asarray(b0w, f32).reshape(1, 1)
-    return pl.pallas_call(
+    ni = jnp.stack(
+        [jnp.asarray(n, jnp.int32), jnp.asarray(n_frames, jnp.int32)]
+    ).reshape(1, 2)
+    h, C, acc = pl.pallas_call(
         kernel,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
@@ -961,7 +1112,10 @@ def _fused_approach_run(h, C, base_flags, window, start_step, b0w,
             jax.ShapeDtypeStruct((1, 128), f32),
         ],
         compiler_params=_VMEM_PARAMS,
-    )(start, b0, base_flags, window, h, C)
+    )(start, b0, ni, base_flags, window, h, C)
+    return (
+        h, C, infl + acc[0, 0], curr + acc[0, 1], acc[0, 2], acc[0, 3]
+    )
 
 
 def make_fused_approach_runner(cfg, vel_field):
@@ -969,9 +1123,10 @@ def make_fused_approach_runner(cfg, vel_field):
     stored velocity history bound at construction. Same call signature
     (state, fields, start_step, n) -> (state, acc); `fields` must carry
     `base_flags` (the velocity frames come from the bound `vel_field`).
-    Each kernel call carries a K-frame VMEM window and picks the frame
-    pair per step in-kernel; a call spanning more than K-1 frames is
-    split into multiple calls.
+    Each kernel call carries a K-frame VMEM window; in-kernel, an outer
+    interval loop loads each constant-frame pair once (no per-step
+    dynamic reads). A call spanning more than K-1 frames is split into
+    multiple calls.
     """
     import numpy as np
 
@@ -981,12 +1136,13 @@ def make_fused_approach_runner(cfg, vel_field):
         )
     frames = jnp.asarray(vel_field, jnp.float32)
     n_frames = int(frames.shape[0])
-    K = APPROACH_FRAME_WINDOW
+    K = _approach_window(*cfg.eff_res)
     if n_frames < K:  # pad so dynamic_slice windows are always K long
         pad = jnp.repeat(frames[-1:], K - n_frames, axis=0)
         frames = jnp.concatenate([frames, pad], axis=0)
     v = np.float32(cfg.vel_obs_conv)
     x_int = np.float32(0.1)
+    key = _c_approach_key(cfg)
 
     tr = _want_transposed(cfg)
     if tr:
@@ -997,20 +1153,14 @@ def make_fused_approach_runner(cfg, vel_field):
         x = np.float32(np.float32(step) * v)
         return int(np.clip(np.floor(x / x_int), 0, n_frames - 1))
 
-    # Long frame intervals (small Pe): split calls at frame boundaries
-    # and hoist the frame-pair load out of the step loop (per-step
-    # dynamic loads cost ~2x there). Short intervals: one call spans a
-    # K-frame window with per-step in-kernel frame picks.
-    hoist = (0.1 / float(v)) >= 64.0
-
     def run(state, fields, start_step, n: int):
         start = int(start_step)
         h, C = state["h"], state["C"]
         base_flags = fields["base_flags"]
         if tr:
             h, C, base_flags = _t2(h), _t2(C), _t2(base_flags)
-        infl = curr = 0.0
-        ru = rv = 0.0
+        zero = jnp.zeros((), jnp.float32)
+        infl = curr = ru = rv = zero
         s = start
         end = start + int(n)
         while s < end:
@@ -1018,8 +1168,6 @@ def make_fused_approach_runner(cfg, vel_field):
             b0w = min(b_lo, max(0, int(frames.shape[0]) - K))
 
             def ok(b: int) -> bool:
-                if hoist:  # constant frame index per call
-                    return b == b_lo
                 # slot b-b0w with slot b+1 available for the lerp; the
                 # final frame needs no lerp partner (use_lerp is false)
                 if b == n_frames - 1:
@@ -1038,14 +1186,11 @@ def make_fused_approach_runner(cfg, vel_field):
                     else:
                         lo = mid + 1
                 seg_end = lo
-            window = jax.lax.dynamic_slice_in_dim(frames, b0w, K, axis=0)
-            h, C, acc = _fused_approach_run(
-                h, C, base_flags, window, float(s), float(b0w), cfg,
-                int(seg_end - s), K, n_frames, hoist, transposed=tr,
+            h, C, infl, curr, ru, rv = _fused_approach_seg(
+                h, C, base_flags, frames, float(s), float(b0w),
+                int(seg_end - s), n_frames, infl, curr,
+                key, K, transposed=tr,
             )
-            infl = infl + acc[0, 0]
-            curr = curr + acc[0, 1]
-            ru, rv = acc[0, 2], acc[0, 3]
             s = seg_end
         if tr:
             h, C = _t2(h), _t2(C)
@@ -1074,13 +1219,14 @@ def make_fused_fluid_runner(cfg):
         )
 
     tr = _want_transposed(cfg)
+    key = _fluid_key(cfg)
 
     def run(state, fields, start_step, n: int):
         del fields
         f, rho, vel = state["f"], state["rho"], state["vel"]
         if tr:
             f, rho, vel = _t2(f), _t2(rho), _t2(vel)
-        f, rho, vel = _fused_fluid_run(f, rho, vel, start_step, cfg, int(n),
+        f, rho, vel = _fused_fluid_run(f, rho, vel, start_step, int(n), key,
                                        transposed=tr)
         if tr:
             f, rho, vel = _t2(f), _t2(rho), _t2(vel)

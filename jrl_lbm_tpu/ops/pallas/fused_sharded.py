@@ -271,46 +271,101 @@ def _padded_block_step(off, flagsp, fp, velp, rho, phi, h, w, H, W, tau,
 MAX_SINGLE_TILE_CELLS = 600_000
 
 
+def _halo_pieces(x, ay: str, ax: str):
+    """Cross-shard halo pieces of a ``(..., h, w)`` block WITHOUT building
+    the ``(h+2, w+2)`` padded copy: returns ``(top, bot, lcol, rcol)``
+    where top/bot are the 1-row y halos ``(..., 1, w)`` and lcol/rcol are
+    ``(..., h+2, 1)`` x-halo columns of the row-EXTENDED block, so the
+    four diagonal corner cells ride in the columns (same two-phase trick
+    as `parallel.halo.pad_halo`). Only O(surface) bytes are copied; the
+    body array feeds the kernel directly through BlockSpecs."""
+    from jrl_lbm_tpu.parallel.halo import _ring_perm
+
+    ny = jax.lax.axis_size(ay)
+    nx = jax.lax.axis_size(ax)
+    top = jax.lax.ppermute(x[..., -1:, :], ay, _ring_perm(ny, 1))
+    bot = jax.lax.ppermute(x[..., :1, :], ay, _ring_perm(ny, -1))
+    colR = jnp.concatenate(
+        [top[..., :, -1:], x[..., :, -1:], bot[..., :, -1:]], axis=-2
+    )
+    colL = jnp.concatenate(
+        [top[..., :, :1], x[..., :, :1], bot[..., :, :1]], axis=-2
+    )
+    lcol = jax.lax.ppermute(colR, ax, _ring_perm(nx, 1))
+    rcol = jax.lax.ppermute(colL, ax, _ring_perm(nx, -1))
+    return top, bot, lcol, rcol
+
+
+def _col_windows(col, th, n_t):
+    """Per-tile (th+2)-row windows of an ``(..., h+2, 1)`` halo column,
+    stacked to ``(n_t, ..., th+2, 1)`` so each grid tile can BlockSpec
+    its own window (the windows overlap by 2 rows, which BlockSpec
+    stride rules cannot express directly; the column is O(h) bytes so
+    the gather is negligible)."""
+    return jnp.stack(
+        [
+            jax.lax.slice_in_dim(col, i * th, i * th + th + 2, axis=-2)
+            for i in range(n_t)
+        ],
+        axis=0,
+    )
+
+
 @partial(jax.jit, static_argnames=("th", "h", "w", "H", "W", "tau",
                                    "inflow_density", "inflow_vx",
                                    "inflow_vy", "minv_s_m", "interpret"))
-def _tiled_block_step(off, flagsp, fp, velp, rho, phi, th, h, w, H, W, tau,
+def _tiled_block_step(off, flags, f, vel, rho, phi, top, bot, lcol, rcol,
+                      th, h, w, H, W, tau,
                       inflow_density, inflow_vx, inflow_vy, minv_s_m,
                       interpret):
     """Row-tiled variant of `_padded_block_step` for per-shard blocks
-    beyond VMEM: a grid of (th, w) tiles sweeps the shard, with the
-    1-row y halos delivered as 8-row-aligned neighbour blocks of a
-    single 12-plane stacked x-padded array (flags, f0..f8, vel) — the
-    same BlockSpec-halo pattern as `fused_step._make_interior_kernel`.
-    The cross-shard `ppermute` halo rows enter through two extra (12, 8,
-    w+2) inputs selected by the first/last tile off `pl.program_id`."""
+    beyond VMEM: a grid of (th, w) tiles sweeps the shard. The body
+    arrays (f, vel, flags) feed the kernel DIRECTLY via BlockSpecs —
+    1-row y halos arrive as 8-row-aligned neighbour blocks of the same
+    body array (first/last tiles swap in the `ppermute` halo pieces) and
+    the x halo as per-tile column windows — so no stacked or x-padded
+    copy of the state is materialized (round-2 made a 12-plane x-padded
+    stack per step, ~2x f HBM traffic). Each tile assembles its padded
+    (th+2, w+2) planes in VMEM with row/lane concats."""
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
     f32 = jnp.float32
     n_t = h // th
     g = th // 8  # tile height in 8-row groups
 
-    # 12-plane stack over the 1-cell-padded shard block, then the
-    # x-padded interior rows + the two cross-shard halo rows padded to
-    # 8-row-aligned blocks
-    stack = jnp.concatenate(
-        [flagsp[None].astype(f32), fp, velp], axis=0
-    )  # (12, h+2, w+2)
-    s_x = stack[:, 1:-1, :]  # (12, h, w+2)
-    zero7 = jnp.zeros((12, 7, w + 2), f32)
-    top8 = jnp.concatenate([zero7, stack[:, 0:1, :]], axis=1)
-    bot8 = jnp.concatenate([stack[:, -1:, :], zero7], axis=1)
+    # 12-plane convention for the tiny halo pieces: plane 0 = flags (as
+    # f32), 1..9 = f, 10..11 = vel. The BODY arrays stay separate and
+    # uncopied; only these O(surface) pieces are stacked.
+    zero7 = jnp.zeros((12, 7, w), f32)
+    top8 = jnp.concatenate([zero7, top], axis=-2)  # (12, 8, w), halo row last
+    bot8 = jnp.concatenate([bot, zero7], axis=-2)  # halo row first
+    lwin = _col_windows(lcol, th, n_t)  # (n_t, 12, th+2, 1)
+    rwin = _col_windows(rcol, th, n_t)
 
-    def kernel(off_ref, mid_ref, uph_ref, dnh_ref, top_ref, bot_ref,
+    def kernel(off_ref, fl_ref, f_ref, v_ref, flu_ref, fu_ref, vu_ref,
+               fld_ref, fd_ref, vd_ref, top_ref, bot_ref, lw_ref, rw_ref,
                rho_ref, phi_ref, f_out, rho_out, vel_out):
         i = pl.program_id(0)
         first = i == 0
         last = i == n_t - 1
-        above = jnp.where(first, top_ref[:, -1:, :], uph_ref[:, -1:, :])
-        below = jnp.where(last, bot_ref[:, 0:1, :], dnh_ref[:, 0:1, :])
-        win = jnp.concatenate([above, mid_ref[:], below], axis=1)
+
+        def padded(mid, up, dn, plane):
+            """(th+2, w+2) tile plane from body blocks + halo pieces."""
+            above = jnp.where(first, top_ref[plane, -1:, :], up[-1:, :])
+            below = jnp.where(last, bot_ref[plane, 0:1, :], dn[0:1, :])
+            win = jnp.concatenate([above, mid, below], axis=0)
+            return jnp.concatenate(
+                [lw_ref[0, plane], win, rw_ref[0, plane]], axis=1
+            )
+
+        flagsp = padded(fl_ref[:].astype(f32), flu_ref[:].astype(f32),
+                        fld_ref[:].astype(f32), 0)
+        fp = [padded(f_ref[q], fu_ref[q], fd_ref[q], 1 + q)
+              for q in range(9)]
+        velp = [padded(v_ref[c], vu_ref[c], vd_ref[c], 10 + c)
+                for c in range(2)]
         fs, rho_n, u_x, u_y = _block_update(
-            win[0], [win[1 + q] for q in range(9)], [win[10], win[11]],
+            flagsp, fp, velp,
             rho_ref[:], phi_ref[:], th, w, H, W,
             off_ref[0] + i * th, off_ref[1],
             A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
@@ -321,18 +376,29 @@ def _tiled_block_step(off, flagsp, fp, velp, rho, phi, th, h, w, H, W, tau,
         vel_out[0] = u_x
         vel_out[1] = u_y
 
-    wp = w + 2
+    def up_map(i):
+        return (0, jnp.maximum(i * g - 1, 0), 0)
+
+    def dn_map(i):
+        return (0, jnp.minimum((i + 1) * g, h // 8 - 1), 0)
+
     specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((12, th, wp), lambda i: (0, i, 0)),
-        pl.BlockSpec((12, 8, wp), lambda i: (0, jnp.maximum(i * g - 1, 0), 0)),
-        pl.BlockSpec(
-            (12, 8, wp), lambda i: (0, jnp.minimum((i + 1) * g, h // 8 - 1), 0)
-        ),
-        pl.BlockSpec((12, 8, wp), lambda i: (0, 0, 0)),
-        pl.BlockSpec((12, 8, wp), lambda i: (0, 0, 0)),
-        pl.BlockSpec((th, w), lambda i: (i, 0)),
-        pl.BlockSpec((th, w), lambda i: (i, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # off
+        pl.BlockSpec((th, w), lambda i: (i, 0)),  # flags mid
+        pl.BlockSpec((9, th, w), lambda i: (0, i, 0)),  # f mid
+        pl.BlockSpec((2, th, w), lambda i: (0, i, 0)),  # vel mid
+        pl.BlockSpec((8, w), lambda i: up_map(i)[1:]),  # flags up
+        pl.BlockSpec((9, 8, w), up_map),  # f up
+        pl.BlockSpec((2, 8, w), up_map),  # vel up
+        pl.BlockSpec((8, w), lambda i: dn_map(i)[1:]),  # flags dn
+        pl.BlockSpec((9, 8, w), dn_map),  # f dn
+        pl.BlockSpec((2, 8, w), dn_map),  # vel dn
+        pl.BlockSpec((12, 8, w), lambda i: (0, 0, 0)),  # ppermute top
+        pl.BlockSpec((12, 8, w), lambda i: (0, 0, 0)),  # ppermute bot
+        pl.BlockSpec((1, 12, th + 2, 1), lambda i: (i, 0, 0, 0)),  # lcol win
+        pl.BlockSpec((1, 12, th + 2, 1), lambda i: (i, 0, 0, 0)),  # rcol win
+        pl.BlockSpec((th, w), lambda i: (i, 0)),  # rho
+        pl.BlockSpec((th, w), lambda i: (i, 0)),  # phi
     ]
     return pl.pallas_call(
         kernel,
@@ -350,7 +416,8 @@ def _tiled_block_step(off, flagsp, fp, velp, rho, phi, th, h, w, H, W, tau,
         ],
         compiler_params=None if interpret else _VMEM_PARAMS,
         interpret=interpret,
-    )(off, s_x, s_x, s_x, top8, bot8, rho, phi)
+    )(off, flags, f, vel, flags, f, vel, flags, f, vel,
+      top8, bot8, lwin, rwin, rho, phi)
 
 
 def _pick_tile_rows(h, w):
@@ -405,15 +472,28 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
         row0 = jax.lax.axis_index(AXIS_Y) * h
         col0 = jax.lax.axis_index(AXIS_X) * w
         off = jnp.stack([row0, col0]).astype(jnp.int32)
-        fp = pad_halo(f, AXIS_Y, AXIS_X)
-        velp = pad_halo(vel, AXIS_Y, AXIS_X)
-        flagsp = pad_halo(flags, AXIS_Y, AXIS_X)
         if tile_rows is not None:
+            # O(surface) halo pieces only — the body arrays are NOT
+            # copied or padded (they BlockSpec straight into the kernel)
+            f32 = jnp.float32
+            tf, bf, lf, rf = _halo_pieces(
+                flags.astype(f32)[None], AXIS_Y, AXIS_X
+            )
+            tF, bF, lF, rF = _halo_pieces(f, AXIS_Y, AXIS_X)
+            tv, bv, lv, rv = _halo_pieces(vel, AXIS_Y, AXIS_X)
+            top = jnp.concatenate([tf, tF, tv], axis=0)
+            bot = jnp.concatenate([bf, bF, bv], axis=0)
+            lcol = jnp.concatenate([lf, lF, lv], axis=0)
+            rcol = jnp.concatenate([rf, rF, rv], axis=0)
             return _tiled_block_step(
-                off, flagsp, fp, velp, rho, phi_obs, tile_rows, h, w, H, W,
+                off, flags, f, vel, rho, phi_obs, top, bot, lcol, rcol,
+                tile_rows, h, w, H, W,
                 float(cfg.tau), float(cfg.density), iv[0], iv[1], minv_t,
                 interpret,
             )
+        fp = pad_halo(f, AXIS_Y, AXIS_X)
+        velp = pad_halo(vel, AXIS_Y, AXIS_X)
+        flagsp = pad_halo(flags, AXIS_Y, AXIS_X)
         return _padded_block_step(
             off, flagsp, fp, velp, rho, phi_obs, h, w, H, W,
             float(cfg.tau), float(cfg.density), iv[0], iv[1], minv_t,

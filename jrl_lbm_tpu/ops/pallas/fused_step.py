@@ -171,6 +171,13 @@ def _mrt_apply(A, fb, feq_n, is_obs, f_out, st=None):
 # Requires in-kernel PRNG (pltpu.prng_*) — real-TPU only, no interpret
 # lowering exists.
 
+# One process-wide seed counter shared by ALL 'sr' kernel factories
+# (step and step2): per-factory counters would replay the same
+# pltpu.prng_seed values across kernel families in a mixed k=2/k=1 run,
+# correlating the stochastic-rounding noise between steps.
+_SR_SEED_COUNTER = itertools.count(1)
+
+
 def _mk_ld_st(bf16_dev):
     if not bf16_dev:
         return (lambda x, q: x), None
@@ -1286,7 +1293,7 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
 
     skip_macro = (not write_macro) and use_split
     split_fn = _fused_step_split_donated if skip_macro else _fused_step_split
-    ctr = itertools.count(1) if bf16_dev == "sr" else None
+    ctr = _SR_SEED_COUNTER if bf16_dev == "sr" else None
 
     def step(state, fields):
         seed = (
@@ -1335,7 +1342,9 @@ def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
     steps per call, halving the per-step f HBM traffic. Split geometry
     only (returns None when the domain can't split); the 4-row band
     margin of `_band_tiles` is exactly the cushion the redundant step-1
-    extended rows need (see the k=2 section comment). f32 storage only.
+    extended rows need (see the k=2 section comment). Supports every
+    storage mode (f32, bf16_dev, bf16_dev_sr — the b025_bf16sr
+    validation ran through this path).
 
     Like `make_fused_step(write_macro=False)`, the default mode keeps
     interior-row rho/vel stale (refresh with `make_macro_refresh`) and
@@ -1348,7 +1357,7 @@ def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
     minv_s_m, _ = _collide.mrt_matrices(cfg.tau)
     minv_t = tuple(tuple(float(x) for x in row) for row in minv_s_m)
     fn = _fused_step2_split if write_macro else _fused_step2_split_donated
-    ctr = itertools.count(1) if bf16_dev == "sr" else None
+    ctr = _SR_SEED_COUNTER if bf16_dev == "sr" else None
 
     def step2(state, fields):
         seed = (
@@ -1380,9 +1389,13 @@ def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
     By default the steps run with ``write_macro=False`` (interior tiles
     skip the per-step rho/vel writes) and the runner refreshes rho/vel
     once at the end of each ``run`` call, so callers always observe a
-    fully consistent state at dump instants. When the split geometry
-    allows it (and storage is f32), pairs of steps run through the
-    double-step temporal-blocking kernels."""
+    fully consistent state at dump instants. CAUTION: this default
+    DONATES the caller's rho/vel buffers — a reference kept to the
+    pre-run state dies with "Array has been deleted"; rebind state from
+    the return value (all in-repo callers do), or pass
+    ``write_macro=True`` to keep the non-donating semantics. When the
+    split geometry allows it, pairs of steps run through the double-step
+    temporal-blocking kernels (any storage mode)."""
     step = make_fused_step(cfg, tile_rows, split=split,
                            interior_rows=interior_rows, bf16_dev=bf16_dev,
                            write_macro=write_macro)

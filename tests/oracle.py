@@ -380,3 +380,146 @@ def solve_boundary_oracle(
                     + 0.5 * pab / cs2 / cs2
                 )
     return f_new
+
+
+def _feq_point_shifted(rho, ux, uy, fx=0.0, fy=0.0):
+    """feq with the Guo half-force velocity shift (LBM_collision_2d.py:249-252)."""
+    eps = 1e-10
+    if rho > eps:
+        ux = ux + 0.5 * fx / rho
+        uy = uy + 0.5 * fy / rho
+    return _feq_point(rho, ux, uy)
+
+
+def macro_oracle(f, rho, vel, flags):
+    """Sequential port of the live macro path (LBM_macro_compute_2d.py:316-336):
+    rho = sum_q f, u = sum_q f e_q / rho, OBSTACLE passthrough."""
+    f = np.asarray(f, dtype=np.float64)
+    _, H, Wd = f.shape
+    rho_new = np.array(rho, dtype=np.float64)
+    vel_new = np.array(vel, dtype=np.float64)
+    for y in range(H):
+        for x in range(Wd):
+            if flags[y, x] == OBSTACLE:
+                continue
+            r = 0.0
+            mx = 0.0
+            my = 0.0
+            for q in range(9):
+                r += f[q, y, x]
+                mx += f[q, y, x] * E[q, 0]
+                my += f[q, y, x] * E[q, 1]
+            rho_new[y, x] = r
+            safe = r if r != 0.0 else 1.0
+            vel_new[0, y, x] = mx / safe
+            vel_new[1, y, x] = my / safe
+    return rho_new, vel_new
+
+
+def macro_C_oracle(h, C, flags):
+    """C = sum_q h with OBSTACLE passthrough (LBM_macro_compute_2d.py:273-295)."""
+    h = np.asarray(h, dtype=np.float64)
+    _, H, Wd = h.shape
+    C_new = np.array(C, dtype=np.float64)
+    for y in range(H):
+        for x in range(Wd):
+            if flags[y, x] != OBSTACLE:
+                C_new[y, x] = h[:, y, x].sum()
+    return C_new
+
+
+def collision_oracle(
+    f,
+    rho,
+    vel,
+    flags,
+    tau,
+    force=None,
+    mesh=None,
+    is_convection=False,
+    axisymmetric_type=0,
+    dx=1.0,
+    dt=1.0,
+):
+    """Sequential port of the live BGK + axisymmetric-Gi collision
+    (LBM_collision_2d.py:343-555, LINE_X_EQ_0 branches — the only axis
+    any demo uses). Stencil fields come from grad_oracle/div_oracle; the
+    per-cell relaxation and source arithmetic is replicated literally,
+    including the per-direction convection rate w_q = 1/tau +
+    dt (1 - 0.5/tau) e_r / r (:513-529) and the OBSTACLE passthrough."""
+    f = np.asarray(f, dtype=np.float64)
+    rho = np.asarray(rho, dtype=np.float64)
+    vel = np.asarray(vel, dtype=np.float64)
+    _, H, Wd = f.shape
+    c = dx / dt
+    cs2 = c * c / 3.0
+    ax = int(axisymmetric_type)
+    assert ax in (0, 1), "oracle covers the live LINE_X_EQ_0 / off paths"
+    f_new = f.copy()
+
+    if ax == 1 and not is_convection:
+        # whole-field stencil inputs of the G source (:389-414)
+        r_field = mesh[0]
+        ur = vel[0]
+        A1_f = -rho * ur / r_field
+        grad_u = grad_oracle(vel[0], flags, dx=dx, axisymmetric_type=ax)
+        grad_v = grad_oracle(vel[1], flags, dx=dx, axisymmetric_type=ax)
+        grad_p = grad_oracle(rho * cs2, flags, dx=dx, axisymmetric_type=ax)
+        div_m = div_oracle(rho * ur * vel, flags, dx=dx, axisymmetric_type=ax)
+        grad_A1 = grad_oracle(A1_f, flags, dx=dx, axisymmetric_type=ax)
+
+    for y in range(H):
+        for x in range(Wd):
+            if flags[y, x] == OBSTACLE:
+                continue
+            rr = rho[y, x]
+            ux, uy = vel[0, y, x], vel[1, y, x]
+            if force is not None:
+                fq = _feq_point_shifted(rr, ux, uy, force[0, y, x], force[1, y, x])
+            else:
+                fq = _feq_point(rr, ux, uy)
+
+            if ax == 1:
+                r = mesh[0][y, x]
+                if is_convection:
+                    for q in range(9):
+                        s = dt * (1.0 - 0.5 / tau) * E[q, 0] / r
+                        w_rate = 1.0 / tau + s
+                        Gi = -(ux / r) * fq[q] * (1.0 - 0.5 / tau - 0.5 * s)
+                        f_new[q, y, x] = (
+                            f[q, y, x]
+                            + w_rate * (fq[q] - f[q, y, x])
+                            + dt * Gi
+                        )
+                else:
+                    visc = cs2 * (tau - 0.5)
+                    mu = visc * rr
+                    A1 = A1_f[y, x]
+                    A2 = (grad_p[0, y, x] + div_m[y, x]) * (dt / (2.0 * r))
+                    F2x = (
+                        (mu / r) * (grad_u[0, y, x] - ux / r)
+                        + ux * A1
+                        - dt * (tau - 1.0) * cs2 * grad_A1[0, y, x]
+                    )
+                    F2y = (
+                        (mu / r) * grad_v[0, y, x]
+                        + uy * A1
+                        - dt * (tau - 1.0) * cs2 * grad_A1[1, y, x]
+                    )
+                    for q in range(9):
+                        G = (
+                            A1
+                            + A2
+                            + (E[q, 0] * F2x + E[q, 1] * F2y) / cs2
+                        ) * W[q]
+                        f_new[q, y, x] = (
+                            f[q, y, x]
+                            + (1.0 / tau) * (fq[q] - f[q, y, x])
+                            + dt * G
+                        )
+            else:
+                for q in range(9):
+                    f_new[q, y, x] = f[q, y, x] + (1.0 / tau) * (
+                        fq[q] - f[q, y, x]
+                    )
+    return f_new

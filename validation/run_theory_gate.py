@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Quantitative theory gate for the approach curves (verdict r3 #6).
+
+The reference overlays theoretical negative-feedback curves from
+user-supplied `NF/Rg*.txt` files (`demo_plot_validation.py:96-120`,
+files not shipped). This gate computes the published analytic
+approximation in-repo instead: the Cornut-Lefrou expression for the
+normalized SECM negative-feedback (insulating substrate) approach curve
+
+    N(L, Rg) = (2.08/Rg^0.358 (L - 0.145/Rg) + 1.585)
+             / (2.08/Rg^0.358 (L + 0.0023 Rg) + 1.57
+                + ln(Rg)/L + (2/(pi Rg)) ln(1 + pi Rg / (2 L)))
+
+[Cornut & Lefrou, J. Electroanal. Chem. 608 (2007) 59, eq. (17);
+accuracy stated < 3% for Rg >= 2, 0.1 <= L <= inf], against the
+low-Pe (diffusion-dominated) sweep records, using the same
+normalization window the reference plot uses (mean over the 10 dumps
+starting 30 dumps from contact, `demo_plot_validation.py:59-62`).
+
+The tip here is a 45-degree cone with Rg = 4 rather than the flat
+embedded disk of the theory, and Pe is small-but-finite, so a few
+percent of systematic offset is expected; the gate asserts the curves
+agree within TOL everywhere in the compared L-range, which a wrong
+convection rate, broken INFLOW head, or broken frame interpolation
+would violate by far more.
+
+Writes validation/results/theory_gate.json.
+"""
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SWEEP = os.path.join(ROOT, "validation", "sweep_out", "_45degree_g9",
+                     "records")
+RESULTS = os.path.join(ROOT, "validation", "results")
+
+RADIUS_LAT = 6.5  # lattice radius a (JRLCConfig.radius_obs at refine 1)
+H_LAT = 128
+INFLOW_LAT = 40.5  # 45degree inflow height
+RG = 4.0
+TOL = 0.15  # max |sim - theory| (normalized units) in the gated L-range
+L_RANGE = (0.4, 4.0)
+
+
+def nf_theory(L, Rg=RG):
+    """Cornut-Lefrou 2007 eq. 17 (insulating substrate)."""
+    L = np.asarray(L, np.float64)
+    num = 2.08 / Rg**0.358 * (L - 0.145 / Rg) + 1.585
+    den = (
+        2.08 / Rg**0.358 * (L + 0.0023 * Rg)
+        + 1.57
+        + math.log(Rg) / L
+        + (2.0 / (math.pi * Rg)) * np.log(1.0 + math.pi * Rg / (2.0 * L))
+    )
+    return num / den
+
+
+def load_record(path):
+    xs, cur = [], []
+    with open(path) as fo:
+        fo.readline()
+        for line in fo:
+            parts = line.split()
+            if len(parts) < 3:
+                break
+            xs.append(float(parts[0]))
+            cur.append(float(parts[2]))
+    return np.asarray(xs), np.asarray(cur)
+
+
+def gate_case(path):
+    xs_um, cur = load_record(path)
+    if len(cur) < 45:
+        return None
+    # dump k sits at walks ~ INFLOW + (k+1) cells: distance to the top
+    # wall in radii. (The x column is traveled distance in um; dumps are
+    # 1 lattice cell apart by construction, `c_dump_steps`.)
+    n = len(cur)
+    walks = INFLOW_LAT + 1.0 + np.arange(n)
+    L = ((H_LAT - 1) - walks) / RADIUS_LAT
+    # reference normalization: mean of the 10 dumps starting 30 dumps
+    # from contact (flipped indexing), demo_plot_validation.py:59-62
+    idx_from_contact = (n - 1) - np.arange(n)
+    norm_mask = (idx_from_contact >= 30) & (idx_from_contact < 40)
+    sim = cur / np.mean(cur[norm_mask])
+    theo = nf_theory(np.clip(L, 1e-3, None))
+    theo = theo / np.mean(theo[norm_mask])
+    mask = (L >= L_RANGE[0]) & (L <= L_RANGE[1])
+    dev = np.abs(sim[mask] - theo[mask])
+    return {
+        "file": os.path.basename(path),
+        "n_dumps": int(n),
+        "max_abs_dev": float(dev.max()),
+        "mean_abs_dev": float(dev.mean()),
+        "L_range": list(L_RANGE),
+        "pass": bool(dev.max() <= TOL),
+    }
+
+
+def main():
+    pe_tags = [int(pe * 10000) for pe in (1e-3, 3e-3)]
+    if not os.path.isdir(SWEEP):
+        print(f"no sweep records at {SWEEP}; run validation/run_batch_pe.py")
+        return 1
+    cases = []
+    for fn in sorted(os.listdir(SWEEP)):
+        if not fn.endswith(".txt"):
+            continue
+        if not any(fn.endswith(f"_Pe{t}.txt") for t in pe_tags):
+            continue
+        r = gate_case(os.path.join(SWEEP, fn))
+        if r:
+            cases.append(r)
+    out = {
+        "theory": "Cornut-Lefrou 2007 eq.17, insulating substrate, Rg=4",
+        "tolerance": TOL,
+        "normalization": "mean of dumps 30-39 from contact (ref plot)",
+        "cases": cases,
+        "n_pass": sum(c["pass"] for c in cases),
+        "n_total": len(cases),
+        "pass": bool(cases) and all(c["pass"] for c in cases),
+    }
+    os.makedirs(RESULTS, exist_ok=True)
+    with open(os.path.join(RESULTS, "theory_gate.json"), "w") as fo:
+        json.dump(out, fo, indent=1)
+    print(json.dumps(out, indent=1))
+    return 0 if out["pass"] else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Measure the row-tiled SHARDED fused cylinder step on a real 1x1 mesh
+vs the single-device fused step (round-3 verdict task 4 'Done' check:
+within ~15% after removing the per-step 12-plane stacked copy).
+
+Both paths run k=1 (no temporal blocking) with per-step macro writes
+skipped where their default does so; the sharded path always writes
+macro, so the unsharded comparator uses write_macro=True for a fair
+per-step traffic comparison.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from jrl_lbm_tpu.models import cylinder as cyl
+from jrl_lbm_tpu.ops.pallas import fused_sharded as fsh
+from jrl_lbm_tpu.ops.pallas import fused_step as fs
+from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+
+def timeit(run, state, fields, steps, reps=3):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(state, fields, steps)
+        float(jnp.sum(out["rho"]))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    res = (2048, 2048)
+    cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
+    state, fields = cyl.init(cfg)
+    cells = res[0] * res[1]
+    steps = 100
+
+    dev = jax.devices()[0]
+    mesh = Mesh(np.asarray([dev]).reshape(1, 1), (AXIS_Y, AXIS_X))
+    sh_run = fsh.make_sharded_fused_cylinder_runner(cfg, mesh, tile_rows=64)
+    print("compiling sharded...", flush=True)
+    _ = sh_run(state, fields, 1)
+    float(jnp.sum(_["rho"]))
+    t_sh = timeit(sh_run, state, fields, steps)
+    mlups_sh = cells * steps / t_sh / 1e6
+    print(json.dumps({"path": "sharded-1x1-tiled64",
+                      "us_per_step": t_sh / steps * 1e6,
+                      "mlups": round(mlups_sh, 1)}), flush=True)
+
+    step1 = fs.make_fused_step(cfg, write_macro=True)
+
+    def un_run(st, fl, n):
+        for _ in range(n):
+            st = step1(st, fl)
+        return st
+
+    print("compiling unsharded...", flush=True)
+    _ = un_run(state, fields, 1)
+    float(jnp.sum(_["rho"]))
+    t_un = timeit(un_run, state, fields, steps)
+    mlups_un = cells * steps / t_un / 1e6
+    print(json.dumps({"path": "unsharded-k1-write_macro",
+                      "us_per_step": t_un / steps * 1e6,
+                      "mlups": round(mlups_un, 1)}), flush=True)
+    ratio = t_sh / t_un
+    out = {
+        "sharded_mlups": round(mlups_sh, 1),
+        "unsharded_mlups": round(mlups_un, 1),
+        "overhead_ratio": round(ratio, 3),
+        "within_15pct": bool(ratio <= 1.15),
+    }
+    print(json.dumps(out), flush=True)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "results", "sharded_1x1_overhead.json"), "w") as fo:
+        json.dump(out, fo, indent=1)
+
+
+if __name__ == "__main__":
+    main()
