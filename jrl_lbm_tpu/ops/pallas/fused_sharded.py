@@ -56,12 +56,67 @@ CS2 = 1.0 / 3.0
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
+class _PadPlane:
+    """Tile-plane access over a 1-cell-padded (h+2, w+2) array (the
+    single-tile-per-shard layout). `sl(yo, xo)` is the (h, w) patch at
+    offset (yo, xo) in {-1, 0, 1}^2."""
+
+    def __init__(self, pad, h, w):
+        self.pad = pad
+        self.h = h
+        self.w = w
+
+    def mid(self):
+        return self.pad[1:-1, 1:-1]
+
+    def sl(self, yo, xo):
+        return self.pad[1 + yo : 1 + yo + self.h, 1 + xo : 1 + xo + self.w]
+
+    def map(self, fn):
+        return _PadPlane(fn(self.pad), self.h, self.w)
+
+
+class _RollPlane:
+    """Tile-plane access over a row-extended LANE-ALIGNED (th+2, w)
+    window plus (th+2, 1) cross-shard x-halo column windows: x offsets
+    are lane rolls with the shard-edge lanes patched from the columns.
+    Keeping w a multiple of 128 (instead of a w+2-wide padded plane)
+    keeps every vector op in the tile update aligned."""
+
+    def __init__(self, win, lcw, rcw, h, w):
+        self.win = win
+        self.lcw = lcw
+        self.rcw = rcw
+        self.h = h
+        self.w = w
+
+    def mid(self):
+        return self.win[1:-1, :]
+
+    def sl(self, yo, xo):
+        rows = self.win[1 + yo : 1 + yo + self.h, :]
+        if xo == 0:
+            return rows
+        v = pltpu.roll(rows, (-xo) % self.w, axis=1)
+        lx = jax.lax.broadcasted_iota(jnp.int32, (self.h, self.w), 1)
+        if xo == -1:  # value from x-1: lane 0 comes from the left shard
+            colv = self.lcw[1 + yo : 1 + yo + self.h, :]
+            return jnp.where(lx == 0, colv, v)
+        colv = self.rcw[1 + yo : 1 + yo + self.h, :]
+        return jnp.where(lx == self.w - 1, colv, v)
+
+    def map(self, fn):
+        return _RollPlane(fn(self.win), fn(self.lcw), fn(self.rcw),
+                          self.h, self.w)
+
+
+def _block_update(flagsP, fP, velP, rho_prev, phi, h, w, H, W, row0, col0,
                   A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy):
-    """The complete cylinder-scene update on an (h, w) tile given
-    1-cell-padded (h+2, w+2) planes and the tile's global (row0, col0)
-    offset. Pure function of tiles -> (f list, rho, u_x, u_y); shared by
-    the single-tile-per-shard kernel and the row-tiled variant."""
+    """The complete cylinder-scene update on an (h, w) tile given plane
+    accessors (`_PadPlane` or `_RollPlane`) and the tile's global
+    (row0, col0) offset. Pure function of tiles -> (f list, rho, u_x,
+    u_y); shared by the single-tile-per-shard kernel and the row-tiled
+    variant."""
     eps = 1e-10
     gy = row0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     gx = col0 + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -70,21 +125,18 @@ def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
     at_x0 = gx == 0
     at_xW = gx == W - 1
 
-    flags = flagsp[1:-1, 1:-1]
+    flags = flagsP.mid()
     is_fluid = flags == FLUID
     not_fluid = jnp.logical_not(is_fluid)
     is_obs = flags == OBSTACLE
-    obs_pad = (flagsp == OBSTACLE).astype(jnp.float32)
+    obsP = flagsP.map(lambda a: (a == OBSTACLE).astype(jnp.float32))
 
     t_ok = (phi > -eps) & (phi <= 1.0 + eps)
 
-    def pull(plane_pad, ex, ey, style):
-        """Value at each cell from (y - ey, x - ex) of the padded
-        plane, with the reference's flag-dependent edge rules —
-        static-slice port of `parallel/padded_ops.py::pull2`."""
-
-        def sl(yo, xo):
-            return plane_pad[1 + yo : 1 + yo + h, 1 + xo : 1 + xo + w]
+    def pull(plane, ex, ey, style):
+        """Value at each cell from (y - ey, x - ex), with the
+        reference's flag-dependent edge rules — accessor port of
+        `parallel/padded_ops.py::pull2`."""
 
         def cands(e_comp, lo_mask, hi_mask):
             cs = [(None, -e_comp)]
@@ -97,7 +149,7 @@ def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
         v = None
         for my, yo in cands(ey, at_y0, at_yH):
             for mx, xo in cands(ex, at_x0, at_xW):
-                patch = sl(yo, xo)
+                patch = plane.sl(yo, xo)
                 if v is None:
                     v = patch
                     continue
@@ -106,17 +158,17 @@ def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
         return v
 
     # ---- streaming with sub-grid interpolation bounce-back ----
-    f_mid = [fp[q][1:-1, 1:-1] for q in range(9)]
+    f_mid = [fP[q].mid() for q in range(9)]
     raw_in = [f_mid[0]]
     for q in range(1, 9):
         ex, ey = int(E[q, 0]), int(E[q, 1])
-        raw_in.append(pull(fp[q], ex, ey, "reflect"))
+        raw_in.append(pull(fP[q], ex, ey, "reflect"))
     f_new = [f_mid[0]]
     for q in range(1, 9):
         ex, ey = int(E[q, 0]), int(E[q, 1])
-        nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
+        nbr_obs = pull(obsP, ex, ey, "reflect") > 0.5
         f_this = f_mid[int(REFL[q])]
-        nxt = pull(fp[int(REFL[q])], -ex, -ey, "reflect")
+        nxt = pull(fP[int(REFL[q])], -ex, -ey, "reflect")
         v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
         v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
         v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
@@ -128,8 +180,8 @@ def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
     for q in range(9):
         f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
     rho_after = jnp.where(in_mask, inflow_density, rho_prev)
-    velx_after = jnp.where(in_mask, inflow_vx, velp[0][1:-1, 1:-1])
-    vely_after = jnp.where(in_mask, inflow_vy, velp[1][1:-1, 1:-1])
+    velx_after = jnp.where(in_mask, inflow_vx, velP[0].mid())
+    vely_after = jnp.where(in_mask, inflow_vy, velP[1].mid())
 
     # ---- OUTFLOW: copy all 9 from the inward neighbour (only at
     # global borders; the inward neighbour is local to the shard) ----
@@ -155,13 +207,13 @@ def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
     tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
     for q in range(9):
         ex, ey = int(E[q, 0]), int(E[q, 1])
-        nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
+        nbr_obs = pull(obsP, -ex, -ey, "minmax") > 0.5
         v_q = nbr_obs & t_ok
         valid.append(v_q)
         vmask = v_q.astype(jnp.float32)
         count = count + vmask
-        ux = pull(velp[0], ex, ey, "minmax")
-        uy = pull(velp[1], ex, ey, "minmax")
+        ux = pull(velP[0], ex, ey, "minmax")
+        uy = pull(velP[1], ex, ey, "minmax")
         vel_tgt_x = vel_tgt_x + vmask * tqr * ux
         vel_tgt_y = vel_tgt_y + vmask * tqr * uy
     safe_count = jnp.where(count > 0, count, 1.0)
@@ -184,8 +236,8 @@ def _block_update(flagsp, fp, velp, rho_prev, phi, h, w, H, W, row0, col0,
         ) / 12.0
         return gxx, gyy
 
-    g00, g01 = grad12(velp[0])
-    g10, g11 = grad12(velp[1])
+    g00, g01 = grad12(velP[0])
+    g10, g11 = grad12(velP[1])
 
     for q in range(9):
         qi = int(REFL[q])
@@ -226,8 +278,10 @@ def _make_padded_block_kernel(h, w, H, W, tau, inflow_density,
     def kernel(off_ref, flagsp_ref, fp_ref, velp_ref, rho_ref, phi_ref,
                f_out, rho_out, vel_out):
         fs, rho_n, u_x, u_y = _block_update(
-            flagsp_ref[:], [fp_ref[q] for q in range(9)],
-            [velp_ref[0], velp_ref[1]], rho_ref[:], phi_ref[:],
+            _PadPlane(flagsp_ref[:], h, w),
+            [_PadPlane(fp_ref[q], h, w) for q in range(9)],
+            [_PadPlane(velp_ref[0], h, w), _PadPlane(velp_ref[1], h, w)],
+            rho_ref[:], phi_ref[:],
             h, w, H, W, off_ref[0], off_ref[1],
             A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
         )
@@ -349,23 +403,24 @@ def _tiled_block_step(off, flags, f, vel, rho, phi, top, bot, lcol, rcol,
         first = i == 0
         last = i == n_t - 1
 
-        def padded(mid, up, dn, plane):
-            """(th+2, w+2) tile plane from body blocks + halo pieces."""
+        def rollp(mid, up, dn, plane):
+            """Lane-aligned (th+2, w) row window + (th+2, 1) x-halo
+            column windows — no (w+2)-wide plane is ever built, so the
+            whole tile update stays 128-lane aligned."""
             above = jnp.where(first, top_ref[plane, -1:, :], up[-1:, :])
             below = jnp.where(last, bot_ref[plane, 0:1, :], dn[0:1, :])
             win = jnp.concatenate([above, mid, below], axis=0)
-            return jnp.concatenate(
-                [lw_ref[0, plane], win, rw_ref[0, plane]], axis=1
-            )
+            return _RollPlane(win, lw_ref[0, plane], rw_ref[0, plane],
+                              th, w)
 
-        flagsp = padded(fl_ref[:].astype(f32), flu_ref[:].astype(f32),
-                        fld_ref[:].astype(f32), 0)
-        fp = [padded(f_ref[q], fu_ref[q], fd_ref[q], 1 + q)
+        flagsP = rollp(fl_ref[:].astype(f32), flu_ref[:].astype(f32),
+                       fld_ref[:].astype(f32), 0)
+        fP = [rollp(f_ref[q], fu_ref[q], fd_ref[q], 1 + q)
               for q in range(9)]
-        velp = [padded(v_ref[c], vu_ref[c], vd_ref[c], 10 + c)
+        velP = [rollp(v_ref[c], vu_ref[c], vd_ref[c], 10 + c)
                 for c in range(2)]
         fs, rho_n, u_x, u_y = _block_update(
-            flagsp, fp, velp,
+            flagsP, fP, velP,
             rho_ref[:], phi_ref[:], th, w, H, W,
             off_ref[0] + i * th, off_ref[1],
             A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
