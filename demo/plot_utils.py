@@ -39,11 +39,14 @@ def read_record(path: str):
 
 def find_record(dir_path: str, Re: float, Pe: float):
     """Locate the record file for (Re, Pe); port of
-    `demo_plot_validation.py:29-40`."""
+    `demo_plot_validation.py:29-40`, with the substring match anchored
+    on the `_Re.._Pe...txt` delimiters (the reference's bare `in` test
+    lets `Pe10` match a `Pe100.txt` file, silently plotting the wrong
+    case when both exist — a deliberate quirk fix, docs/PARITY.md)."""
     if not os.path.isdir(dir_path):
         return None
     for fn in os.listdir(dir_path):
-        if ".txt" in fn and f"Re{Re}" in fn and f"Pe{int(Pe * 10000)}" in fn:
+        if f"_Re{Re}_" in fn and fn.endswith(f"_Pe{int(Pe * 10000)}.txt"):
             return os.path.join(dir_path, fn)
     return None
 

@@ -40,7 +40,12 @@ def test_cylinder_drag_re40():
     assert abs(cd_2 - cd_1) / abs(cd_2) < 0.05, (cd_1, cd_2)
     # literature range for Re ~ cfg-dependent 20-60 with ~10% blockage
     assert 10 < re_actual < 80, re_actual
-    assert 1.1 < cd_2 < 2.5, (cd_2, re_actual)
+    # pinned at this config + horizon (round-3 CPU probe: cd(8000 steps)
+    # = 1.1782, still drifting ~ -1%/2000 steps toward ~1.1 converged,
+    # consistent with Tritton ~1.48 minus ~20% top/bottom-wall blockage
+    # at this 10% ratio); +-8% band catches a coupling regression while
+    # tolerating horizon jitter
+    assert abs(cd_2 - 1.178) < 0.08 * 1.178, (cd_2, re_actual)
     # steady symmetric flow: lift ~ 0
     cl = float(fx) / (0.5 * cfg.density * cfg.Vmax**2 * cfg.D)
     assert abs(cl) < 0.2 * cd_2, cl

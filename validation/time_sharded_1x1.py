@@ -50,7 +50,9 @@ def main():
     cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
     state, fields = cyl.init(cfg)
     cells = res[0] * res[1]
-    steps = 100
+    # one sync per window: >= 600 steps keeps the ~50 ms tunnel
+    # round-trip under ~10% of the window (docs/PERFORMANCE.md #20)
+    steps = 600
 
     dev = jax.devices()[0]
     mesh = Mesh(np.asarray([dev]).reshape(1, 1), (AXIS_Y, AXIS_X))
