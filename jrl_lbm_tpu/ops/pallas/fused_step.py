@@ -35,6 +35,7 @@ Validated against the unfused jnp step in tests/test_fused.py.
 from __future__ import annotations
 
 import itertools
+import os
 from functools import partial
 
 import jax
@@ -603,26 +604,30 @@ def _lean_step_rows(fp, R, W, A, wall_density, feq_in_unused=None):
 
 
 def _make_interior_kernel2(W, T, minv_s_m, wall_density, write_macro=True,
-                           bf16_dev=False):
-    """Two steps per pass on T-row interior tiles. Halo inputs are whole
-    (9, 8, W) neighbouring row-groups (step 2 needs step-1 values at +-1
-    rows, which mix all 9 populations — the 6-plane channel-split halo
-    of the k=1 kernel no longer suffices). Storage conversion touches
-    only the HBM edges: loads convert to f32 once, the step-1
-    intermediate stays f32 in VMEM, the single store converts back."""
+                           bf16_dev=False, k=2):
+    """k steps per pass on T-row interior tiles (temporal blocking).
+    Halo inputs are whole (9, 8, W) neighbouring row-groups (step j+1
+    needs step-j values at +-1 rows, which mix all 9 populations — the
+    6-plane channel-split halo of the k=1 kernel no longer suffices);
+    the 8-row groups bound k <= 8. Storage conversion touches only the
+    HBM edges: loads convert to f32 once, intermediates stay f32 in
+    VMEM, the single store converts back. Redundant compute is
+    2*(1 + ... + (k-1)) = k(k-1) extra rows per tile per pass."""
+    assert 2 <= k <= 8
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     ld, st = _mk_ld_st(bf16_dev)
 
     def kernel(f_m, up, dn, f_out, *macro_out):
-        fpad = [
+        cur = [
             jnp.concatenate(
-                [ld(up[q][-2:, :], q), ld(f_m[q], q), ld(dn[q][:2, :], q)],
+                [ld(up[q][-k:, :], q), ld(f_m[q], q), ld(dn[q][:k, :], q)],
                 axis=0,
             )
             for q in range(9)
-        ]  # (T+4, W): rows t0-2 .. t0+T+1
-        f1, _, _, _ = _lean_step_rows(fpad, T + 2, W, A, wall_density)
-        f2, rho_n, u_x, u_y = _lean_step_rows(f1, T, W, A, wall_density)
+        ]  # (T+2k, W): rows t0-k .. t0+T+k-1
+        for j in range(k - 1, 0, -1):
+            cur, _, _, _ = _lean_step_rows(cur, T + 2 * j, W, A, wall_density)
+        f2, rho_n, u_x, u_y = _lean_step_rows(cur, T, W, A, wall_density)
         for q in range(9):
             f_out[q] = f2[q] if st is None else st(f2[q], q)
         if write_macro:
@@ -791,18 +796,21 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
 
 
 def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
-                       minv_s_m, tile_map, bf16_dev=False):
-    """Two full-boundary steps per pass on BT-row band tiles. The 2-deep
+                       minv_s_m, tile_map, bf16_dev=False, k=2):
+    """k full-boundary steps per pass on BT-row band tiles. The k-deep
     f/vel/flags halos come from the whole neighbour blocks the k=1 kernel
-    already loads; phi gains +-1-row halo blocks (new inputs). Step 1 runs
-    on BT+2 extended rows; its outputs are exactly the padded planes step
-    2 needs."""
+    already loads (bounding k <= BT); phi halos come from its full
+    neighbour blocks. Step j runs on BT + 2(k-j) extended rows; its
+    outputs are exactly the padded planes step j+1 needs. The chained
+    vel is the step-j macro velocity, which is all later steps consume
+    (coupling stencils + INFLOW head; plain-fluid rows never read it)."""
+    assert 2 <= k <= BT
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
     ld, st = _mk_ld_st(bf16_dev)
 
-    def stitch2(tp, md, bt):
-        return jnp.concatenate([tp[-2:, :], md, bt[:2, :]], axis=0)
+    def stitchk(tp, md, bt):
+        return jnp.concatenate([tp[-k:, :], md, bt[:k, :]], axis=0)
 
     def kernel(
         fl_tp, fl_m, fl_bt,
@@ -812,26 +820,32 @@ def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
         f_out, rho_out, vel_out,
     ):
         t0 = tile_map(pl.program_id(0)) * BT
-        fpad = [
-            ld(stitch2(f_tp[q], f_m[q], f_bt[q]), q) for q in range(9)
-        ]  # BT+4
-        vxp = stitch2(vel_tp[0], vel_m[0], vel_bt[0])
-        vyp = stitch2(vel_tp[1], vel_m[1], vel_bt[1])
-        flagsp = stitch2(fl_tp[:], fl_m[:], fl_bt[:])
-        phip = jnp.concatenate(
-            [phi_tp[-1:, :], phi_m[:], phi_bt[:1, :]], axis=0
-        )  # BT+2
+        cur = [
+            ld(stitchk(f_tp[q], f_m[q], f_bt[q]), q) for q in range(9)
+        ]  # BT+2k rows: t0-k .. t0+BT+k-1
+        cvx = stitchk(vel_tp[0], vel_m[0], vel_bt[0])
+        cvy = stitchk(vel_tp[1], vel_m[1], vel_bt[1])
+        flagsp = stitchk(fl_tp[:], fl_m[:], fl_bt[:])
+        if k - 1 > 0:
+            phip = jnp.concatenate(
+                [phi_tp[-(k - 1):, :], phi_m[:], phi_bt[: k - 1, :]], axis=0
+            )  # BT+2(k-1) rows: t0-(k-1) .. t0+BT+k-2
+        else:
+            phip = phi_m[:]
 
         args = (H, W, A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
                 inflow_density)
-        f1, _, u1x, u1y = _full_step_rows(
-            fpad, vxp, vyp, flagsp, phip, t0 - 1, BT + 2, *args
-        )
-        f2, rho_n, u_x, u_y = _full_step_rows(
-            f1, u1x, u1y, flagsp[1 : BT + 3, :], phi_m[:], t0, BT, *args
-        )
+        rho_n = u_x = u_y = None
+        for j in range(1, k + 1):
+            R = BT + 2 * (k - j)
+            fl = flagsp[j - 1 : j - 1 + R + 2, :]
+            ph = phip[j - 1 : j - 1 + R, :]
+            cur, rho_n, u_x, u_y = _full_step_rows(
+                cur, cvx, cvy, fl, ph, t0 - (k - j), R, *args
+            )
+            cvx, cvy = u_x, u_y
         for q in range(9):
-            f_out[q] = f2[q] if st is None else st(f2[q], q)
+            f_out[q] = cur[q] if st is None else st(cur[q], q)
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
@@ -843,15 +857,18 @@ def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
 # Assembly
 # ---------------------------------------------------------------------------
 
-def _band_tiles(cfg, T):
+def _band_tiles(cfg, T, margin=4.0):
     """Interior-tile (T-row) indices that need the full-boundary kernel:
     the INFLOW tile (0), the OUTFLOW tile (n-1), and [b0, b1] covering
-    the cylinder +-margin."""
+    the cylinder +-margin. For k-step temporal blocking the margin must
+    be >= k+1 rows: interior tiles lean-compute intermediate values up
+    to k-1 rows inside the band edge, and those rows' whole +-1
+    streaming context must stay outside sub-grid-interp range (t_ok
+    reaches ~1 cell past the cylinder surface)."""
     H, _ = cfg.res
     n = H // T
     cy = cfg.center[1]
     r = cfg.D / 2.0
-    margin = 4.0
     b0 = max(0, int((cy - r - margin) // T))
     b1 = min(n - 1, int((cy + r + margin) // T))
     return n, b0, b1
@@ -1046,10 +1063,15 @@ _K2_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
                             inflow_density, inflow_vx, inflow_vy, minv_s_m,
                             b0, b1, write_macro=False, bf16_dev=False,
-                            seed=None):
-    """Two lattice steps in one pass (temporal blocking), split into the
-    same interior/band tile sets as `_fused_step_split_impl`. Halves the
-    per-step f read+write HBM traffic at ~(T+2)/T redundant compute."""
+                            seed=None, k=2):
+    """k lattice steps in one pass (temporal blocking), split into the
+    same interior/band tile sets as `_fused_step_split_impl`. Divides
+    the per-step f read+write HBM traffic and dispatch count by k at
+    ~k(k-1)/(kT) redundant compute. Requires band tiles placed with a
+    >= k-row plain-fluid margin (`_band_tiles(margin=...)`): interior
+    tiles lean-compute intermediate rows up to k-1 rows inside the band
+    region, which must stay out of sub-grid-interp range of the
+    geometry."""
     n = H // T
     T8 = T // 8
     n_band_tiles = (b1 - b0 + 1) + 2
@@ -1072,8 +1094,8 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
             (c, T, W), lambda i: (0, int_map(i), 0), memory_space=pltpu.VMEM
         )
 
-    # whole (9, 8, W) halo groups: step 2 needs step-1 values at +-1 rows,
-    # which mix all 9 populations of rows t0-2/t0+T+1
+    # whole (9, 8, W) halo groups: step j+1 needs step-j values at +-1
+    # rows, which mix all 9 populations of rows t0-k..t0-1 / t0+T..t0+T+k-1
     up_spec = pl.BlockSpec(
         (9, 8, W), lambda i: (0, T8 * int_map(i) - 1, 0), memory_space=pltpu.VMEM
     )
@@ -1082,7 +1104,8 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     )
 
     ik = _make_interior_kernel2(W, T, minv_s_m, float(inflow_density),
-                                write_macro=write_macro, bf16_dev=bf16_dev)
+                                write_macro=write_macro, bf16_dev=bf16_dev,
+                                k=k)
     fst = jnp.bfloat16 if bf16_dev else f32
     sr = bf16_dev == "sr"
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] if sr else []
@@ -1127,7 +1150,7 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     n_band = 2 * TB + b_
     bk = _make_full_kernel2(
         H, W, BT, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
-        band_map, bf16_dev=bf16_dev,
+        band_map, bf16_dev=bf16_dev, k=k,
     )
     nb = H // BT
 
@@ -1191,7 +1214,7 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
 
 _SPLIT2_STATIC = (
     "H", "W", "T", "BT", "tau", "inflow_density", "inflow_vx", "inflow_vy",
-    "minv_s_m", "b0", "b1", "write_macro", "bf16_dev",
+    "minv_s_m", "b0", "b1", "write_macro", "bf16_dev", "k",
 )
 _fused_step2_split = jax.jit(_fused_step2_split_impl, static_argnames=_SPLIT2_STATIC)
 _fused_step2_split_donated = jax.jit(
@@ -1322,14 +1345,14 @@ def make_fused_step(cfg, tile_rows: int = 8, split: bool = True,
     return step
 
 
-def _choose_interior_T(cfg, tile_rows, interior_rows):
+def _choose_interior_T(cfg, tile_rows, interior_rows, margin=4.0):
     """Largest interior tile height that leaves interior tiles to run on
     (same policy as make_fused_step). Returns (T, b0, b1) or None."""
     H, _ = cfg.res
     T = interior_rows
     while T >= 8:
         if H % T == 0 and T % tile_rows == 0:
-            n, b0, b1 = _band_tiles(cfg, T)
+            n, b0, b1 = _band_tiles(cfg, T, margin=margin)
             if b0 >= 1 and b1 <= n - 2 and (n - ((b1 - b0 + 1) + 2)) > 0:
                 return T, b0, b1
         T //= 2
@@ -1337,20 +1360,22 @@ def _choose_interior_T(cfg, tile_rows, interior_rows):
 
 
 def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
-                     write_macro: bool = False, bf16_dev=False):
-    """Double-step (temporal blocking): advances the state by TWO lattice
-    steps per call, halving the per-step f HBM traffic. Split geometry
-    only (returns None when the domain can't split); the 4-row band
-    margin of `_band_tiles` is exactly the cushion the redundant step-1
-    extended rows need (see the k=2 section comment). Supports every
-    storage mode (f32, bf16_dev, bf16_dev_sr — the b025_bf16sr
-    validation ran through this path).
+                     write_macro: bool = False, bf16_dev=False, k: int = 2):
+    """k-step temporal blocking: advances the state by k lattice steps
+    per call, dividing the per-step f HBM traffic and the dispatch count
+    by k. Split geometry only (returns None when the domain can't split,
+    or when the k-dependent band margin can't be honoured — see
+    `_band_tiles`). Supports every storage mode (f32, bf16_dev,
+    bf16_dev_sr — the b025_bf16sr validation ran through the k=2 path).
 
     Like `make_fused_step(write_macro=False)`, the default mode keeps
     interior-row rho/vel stale (refresh with `make_macro_refresh`) and
     DONATES the incoming rho/vel buffers."""
     H, W = cfg.res
-    choice = _choose_interior_T(cfg, tile_rows, interior_rows)
+    if not (2 <= k <= min(8, tile_rows)):
+        return None
+    choice = _choose_interior_T(cfg, tile_rows, interior_rows,
+                                margin=max(4.0, float(k + 1)))
     if choice is None:
         return None
     T, b0, b1 = choice
@@ -1359,7 +1384,7 @@ def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
     fn = _fused_step2_split if write_macro else _fused_step2_split_donated
     ctr = _SR_SEED_COUNTER if bf16_dev == "sr" else None
 
-    def step2(state, fields):
+    def stepk(state, fields):
         seed = (
             jnp.asarray([next(ctr)], jnp.int32) if ctr is not None else None
         )
@@ -1368,12 +1393,12 @@ def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
             fields["flags"], fields["phi_obs"],
             H, W, T, tile_rows, float(cfg.tau), float(cfg.density),
             0.0, float(cfg.Vmax), minv_t, b0, b1, write_macro=write_macro,
-            bf16_dev=bf16_dev, seed=seed,
+            bf16_dev=bf16_dev, seed=seed, k=k,
         )
         return {"f": f, "rho": rho_new, "vel": vel_new}
 
-    step2.skip_macro = not write_macro
-    return step2
+    stepk.skip_macro = not write_macro
+    return stepk
 
 
 def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
@@ -1399,15 +1424,26 @@ def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
     step = make_fused_step(cfg, tile_rows, split=split,
                            interior_rows=interior_rows, bf16_dev=bf16_dev,
                            write_macro=write_macro)
-    step2 = None
+    step2 = step4 = None
     if split:
         step2 = make_fused_step2(cfg, tile_rows, interior_rows=interior_rows,
                                  write_macro=write_macro, bf16_dev=bf16_dev)
-    skip = step.skip_macro or (step2 is not None and step2.skip_macro)
+        if os.environ.get("LBM_FUSED_K", "4") == "4":
+            step4 = make_fused_step2(cfg, tile_rows,
+                                     interior_rows=interior_rows,
+                                     write_macro=write_macro,
+                                     bf16_dev=bf16_dev, k=4)
+    skip = (step.skip_macro
+            or (step2 is not None and step2.skip_macro)
+            or (step4 is not None and step4.skip_macro))
     refresh = make_macro_refresh(cfg, bf16_dev=bf16_dev) if skip else None
 
     def run(state, fields, n: int):
         m = n
+        if step4 is not None:
+            while m >= 4:
+                state = step4(state, fields)
+                m -= 4
         if step2 is not None:
             while m >= 2:
                 state = step2(state, fields)

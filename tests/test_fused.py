@@ -170,13 +170,52 @@ def test_fused_double_step_matches_single_steps():
     )
 
 
-def test_fused_runner_uses_double_steps():
-    """The fused runner must produce the same trajectory whether n is
-    reached via double-steps or single steps (odd n exercises the mixed
-    path), and end with refreshed macros."""
+@pytest.mark.slow
+def test_fused_quad_step_matches_single_steps():
+    """k=4 temporal blocking: one k=4 pass must equal four k=1 split
+    steps. Exercises the deeper interior halo chain (3 lean-computed
+    rows inside the band region) and the 4-step band-kernel chain.
+    Slow tier: a single interpreted step4 costs ~20 min."""
     from jax.experimental.pallas import tpu as pltpu
 
     from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    cfg = cyl.CylinderConfig(res=(96, 32), D=8.0, Re=500.0,
+                             cylinder_center=(16.0, 48.0))
+    with pltpu.force_tpu_interpret_mode():
+        step1 = fs.make_fused_step(cfg, tile_rows=8, split=True)
+        a, fields = cyl.init(cfg)
+        for _ in range(4):
+            a = step1(a, fields)
+
+        step4 = fs.make_fused_step2(cfg, tile_rows=8, k=4)
+        assert step4 is not None and step4.skip_macro
+        b, _ = cyl.init(cfg)
+        b = step4(b, fields)
+        b = fs.make_macro_refresh(cfg)(b, fields)
+
+    np.testing.assert_allclose(
+        np.asarray(b["f"]), np.asarray(a["f"]), rtol=5e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["rho"]), np.asarray(a["rho"]), atol=1e-6, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(b["vel"]), np.asarray(a["vel"]), atol=1e-6, rtol=1e-6
+    )
+
+
+def test_fused_runner_uses_double_steps(monkeypatch):
+    """The fused runner must produce the same trajectory whether n is
+    reached via double-steps or single steps (odd n exercises the mixed
+    path), and end with refreshed macros. Pinned to k<=2 — an
+    interpreted step4 costs ~20 min; k=4 numerics are covered by the
+    slow-tier quad test."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_step as fs
+
+    monkeypatch.setenv("LBM_FUSED_K", "2")
 
     cfg = cyl.CylinderConfig(res=(96, 32), D=8.0, Re=500.0,
                              cylinder_center=(16.0, 48.0))

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Generate the flagship sweep plots from the production Re x Pe records
+(verdict r3 #1 'Done' criterion): plot_Pe.png, plot_water.png,
+plot_similarity.png under validation/sweep_out/, copied into
+validation/results/. Pure matplotlib over the record files — no TPU.
+
+The similarity overlay pairs the lowest and highest completed Re at a
+matched Pe (the paper's point is the collapse of approach curves onto a
+Pe-indexed master curve across Re; the reference's default pairing uses
+user-supplied water40 data we don't have).
+"""
+
+import os
+import shutil
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "validation", "sweep_out")
+RESULTS = os.path.join(ROOT, "validation", "results")
+os.environ["JRL_DEMO_OUT"] = OUT
+
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "demo"))
+
+import demo_plot_Pe
+import demo_plot_water
+import demo_plot_similarity
+from plot_utils import find_record
+
+RES = [1e-2, 7e-3, 5e-3, 3e-3, 1e-3, 7e-4, 5e-4, 3e-4, 1e-4, 7e-5]
+PES = [1e-3, 3e-3, 7e-3, 1e-2, 3e-2, 7e-2, 1e-1]
+
+
+def pick_similarity_pair():
+    """Matched-Pe records at the most separated completed Re pair."""
+    rec_dir = os.path.join(OUT, "_45degree_g9", "records")
+    best = None
+    for pe in reversed(PES):  # prefer higher Pe (stronger convection)
+        have = [re for re in RES if find_record(rec_dir, re, pe)]
+        if len(have) >= 2:
+            sep = (max(have), min(have))
+            if best is None or sep[0] / sep[1] > best[2]:
+                best = (pe, sep, sep[0] / sep[1])
+    if best is None:
+        return None
+    pe, (re_hi, re_lo), _ = best
+    recs = [os.path.relpath(find_record(rec_dir, re, pe), OUT)
+            for re in (re_hi, re_lo)]
+    labels = [f"water neg Re={re_hi} Pe={pe}", f"water neg Re={re_lo} Pe={pe}"]
+    return recs, labels
+
+
+def main():
+    n_rec = len(os.listdir(os.path.join(OUT, "_45degree_g9", "records")))
+    print(f"[sweep_plots] {n_rec} records", flush=True)
+    demo_plot_Pe.main(fluid="water", is_negative=True)
+    demo_plot_water.main(fluid="water", is_negative=True)
+    pair = pick_similarity_pair()
+    if pair:
+        demo_plot_similarity.main(records=pair[0], labels=pair[1])
+    else:
+        print("[sweep_plots] <2 matched-Pe records; no similarity plot",
+              flush=True)
+    for png in ("plot_Pe.png", "plot_water.png", "plot_similarity.png"):
+        src = os.path.join(OUT, png)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(RESULTS, png))
+            print(f"[sweep_plots] {png} -> validation/results/", flush=True)
+
+
+if __name__ == "__main__":
+    main()
