@@ -27,11 +27,48 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import batch_Pe
 
+
+def seed_balance(fluid: str, res=(128, 64)) -> None:
+    """Run the cheapest sweep case first so it creates the shared C_balance.h5.
+
+    The balance h5 lives at a per-(shape, fluid, g) path with no Re/Pe in
+    it (`demo/_jrl_main.py:182`), mirroring the reference's skip-if-exists
+    contract (`/root/reference/demo/demo_2d_LBM_JRL_C_ethaline.py` writes/
+    reads one `C_balance.h5` shared by every case the batch loop runs) —
+    whichever case runs first discretizes the 600 physical seconds of
+    balance with its dt. All 70 water cases cap tau_D at 1.0, so the
+    per-step balance map is IDENTICAL across cases; only the step count
+    (600 s / dt_real) differs, and every case is >=300x past the ~2e5-step
+    grid diffusion time. Seeding with the coarsest-dt case (Re=7e-5,
+    Pe=1e-3: 6.1e7 steps, ~2 min) therefore reaches the same steady state
+    as the sweep-order default (Re=1e-2: 8.7e9 steps, ~2.8 h) at 1/140th
+    the cost. docs/STATUS.md records this choice.
+    """
+    Re, Pe = (7e-5, 1e-3) if fluid == "water" else (1e-6, 1e-3)
+    vel = Re * batch_Pe.viscs[fluid] / 12.5e-6
+    shape = batch_Pe.shapes[fluid]
+    rec = batch_Pe.record_file(fluid, shape, tuple(res), Re, Pe, True)
+    if os.path.exists(rec):
+        print(f"[run_batch_pe] seed case already done: {rec}", flush=True)
+        return
+    t0 = time.time()
+    print(f"[run_batch_pe] seeding balance via Re={Re} Pe={Pe}", flush=True)
+    batch_Pe.fluid_main(shape=shape, res=res, Re=Re, vel_obs_real=vel,
+                        gravity_strength_real=-9.8, Rg=4, fluid=fluid,
+                        progress=True)
+    batch_Pe.c_main(shape=shape, res=res, balance_time=600, Re=Re, Pe=Pe,
+                    vel_obs_real=vel, gravity_strength_real=-9.8, Rg=4,
+                    fluid=fluid, is_negative=True, progress=True)
+    print(f"[run_batch_pe] seed case done in {time.time() - t0:.0f}s",
+          flush=True)
+
+
 if __name__ == "__main__":
     fluid = sys.argv[1] if len(sys.argv) > 1 else "water"
     t0 = time.time()
     print(f"[run_batch_pe] devices={jax.devices()} fluid={fluid} out={OUT}",
           flush=True)
+    seed_balance(fluid)
     batch_Pe.main(fluid=fluid, is_negative=True, res=(128, 64),
                   skip_existing=True, progress=True)
     print(f"[run_batch_pe] total wall {time.time() - t0:.0f}s", flush=True)
