@@ -641,18 +641,40 @@ def _make_interior_kernel2(W, T, minv_s_m, wall_density, write_macro=True,
 
 def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
                     tau, inflow_density, inflow_vx, inflow_vy,
-                    wall_density):
+                    wall_density, variant="full"):
     """One full-boundary step on R rows given (R+2, W) padded f/vel/flags
     planes and an (R, W) phi block; gy0 = global row index of out-row 0.
     Same arithmetic, in the same order, as `_make_full_kernel`, with the
     OBSTACLE rho passthrough as the scalar `wall_density` (time-invariant
-    in this kernel family). Returns (f_new, rho, ux, uy)."""
-    gy = gy0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    in this kernel family). Returns (f_new, rho, ux, uy).
+
+    ``variant`` statically specializes the step for the split-band tile
+    sets (pl.when would NOT skip the pure compute — Mosaic hoists it, see
+    CLAUDE.md — so dead sections must be cut at trace time):
+
+    * ``"cyl"``  — tiles strictly inside (0, H-1): drops the INFLOW /
+      OUTFLOW sections and the y-global-border streaming candidates
+      (exact when the tile rows and their pull context exclude rows 0
+      and H-1 — guaranteed by the `_band_tiles` b0>=1 / b1<=n-2 split
+      precondition).
+    * ``"edge"`` — the INFLOW/OUTFLOW tiles: drops the solid-fluid
+      coupling (exact when phi stays outside sub-grid-interp range on
+      the tile rows, i.e. the cylinder band does not touch tiles 0 /
+      n-1) and with it every vel/phi read: pass vxp = vyp = phi = None.
+      Wall-column vel passthrough becomes the invariant 0 (the same
+      assumption `_make_interior_kernel` documents).
+    """
+    y_borders = variant != "cyl"
+    do_sfc = variant != "edge"
     gx = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-    at_y0 = gy == 0
-    at_yH = gy == H - 1
     at_x0 = gx == 0
     at_xW = gx == W - 1
+    if y_borders:
+        gy = gy0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+        at_y0 = gy == 0
+        at_yH = gy == H - 1
+    else:
+        at_y0 = at_yH = None
 
     flags = flagsp[1 : 1 + R, :]
     is_fluid = flags == FLUID
@@ -660,7 +682,7 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
     is_obs = flags == OBSTACLE
     obs_pad = (flagsp == OBSTACLE).astype(jnp.float32)
     eps = 1e-10
-    t_ok = (phi > -eps) & (phi <= 1.0 + eps)
+    t_ok = (phi > -eps) & (phi <= 1.0 + eps) if do_sfc else None
 
     def pull(plane_pad, ex, ey, style):
         def rows(yoff):
@@ -673,6 +695,8 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
 
         def cands(e_comp, lo_mask, hi_mask):
             cs = [(None, -e_comp)]
+            if lo_mask is None:  # y candidates dropped for "cyl" tiles
+                return cs
             if e_comp == 1:
                 cs.append((lo_mask & not_fluid, 1 if style == "reflect" else 0))
             elif e_comp == -1:
@@ -700,85 +724,101 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
         ex, ey = int(E[q, 0]), int(E[q, 1])
         nbr_obs = pull(obs_pad, ex, ey, "reflect") > 0.5
         f_this = f_mid[int(REFL[q])]
-        nxt = pull(fp[int(REFL[q])], -ex, -ey, "reflect")
-        v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
-        v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
-        v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
+        if do_sfc:
+            nxt = pull(fp[int(REFL[q])], -ex, -ey, "reflect")
+            v1 = (2.0 * phi - 1.0) * raw_in[q] + (2.0 - 2.0 * phi) * f_this
+            v2 = (2.0 * phi) * f_this + (1.0 - 2.0 * phi) * nxt
+            v_obs = jnp.where(t_ok, jnp.where(phi >= 0.5, v1, v2), f_this)
+        else:  # t_ok is statically all-False on edge tiles
+            v_obs = f_this
         streamed = jnp.where(nbr_obs, v_obs, raw_in[q])
         f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
 
-    in_mask = flags == INFLOW
-    for q in range(9):
-        f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
-    rho_after = jnp.where(in_mask, inflow_density, wall_density)
-    velx_after = jnp.where(in_mask, inflow_vx, vxp[1 : 1 + R, :])
-    vely_after = jnp.where(in_mask, inflow_vy, vyp[1 : 1 + R, :])
+    if y_borders:
+        in_mask = flags == INFLOW
+        for q in range(9):
+            f_new[q] = jnp.where(in_mask, FEQ_IN[q], f_new[q])
+        rho_after = jnp.where(in_mask, inflow_density, wall_density)
+        if do_sfc:
+            velx_after = jnp.where(in_mask, inflow_vx, vxp[1 : 1 + R, :])
+            vely_after = jnp.where(in_mask, inflow_vy, vyp[1 : 1 + R, :])
+        else:
+            velx_after = jnp.where(in_mask, inflow_vx, 0.0)
+            vely_after = jnp.where(in_mask, inflow_vy, 0.0)
 
-    of_mask = flags == OUTFLOW
-    for q in range(9):
-        g = f_new[q]
-        g = jnp.where(at_y0, pltpu.roll(g, R - 1, axis=0), g)
-        g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-        g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
-        g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
-        f_new[q] = jnp.where(of_mask, g, f_new[q])
+        of_mask = flags == OUTFLOW
+        for q in range(9):
+            g = f_new[q]
+            g = jnp.where(at_y0, pltpu.roll(g, R - 1, axis=0), g)
+            g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+            g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+            g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+            f_new[q] = jnp.where(of_mask, g, f_new[q])
+    else:
+        rho_after = wall_density
+        velx_after = vxp[1 : 1 + R, :]
+        vely_after = vyp[1 : 1 + R, :]
 
-    skip = is_obs | at_xW | at_yH
-    rho_tgt = f_new[0]
-    for q in range(1, 9):
-        rho_tgt = rho_tgt + f_new[q]
-    vel_tgt_x = jnp.zeros((R, W), jnp.float32)
-    vel_tgt_y = jnp.zeros((R, W), jnp.float32)
-    count = jnp.zeros((R, W), jnp.float32)
-    valid = []
-    tq = jnp.where(t_ok, phi, 0.0)
-    tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
-    for q in range(9):
-        ex, ey = int(E[q, 0]), int(E[q, 1])
-        nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
-        v_q = nbr_obs & t_ok
-        valid.append(v_q)
-        vmask = v_q.astype(jnp.float32)
-        count = count + vmask
-        ux = pull(vxp, ex, ey, "minmax")
-        uy = pull(vyp, ex, ey, "minmax")
-        vel_tgt_x = vel_tgt_x + vmask * tqr * ux
-        vel_tgt_y = vel_tgt_y + vmask * tqr * uy
-    safe_count = jnp.where(count > 0, count, 1.0)
-    u0 = vel_tgt_x / safe_count
-    u1 = vel_tgt_y / safe_count
+    if do_sfc:
+        skip = is_obs | at_xW
+        if y_borders:
+            skip = skip | at_yH
+        rho_tgt = f_new[0]
+        for q in range(1, 9):
+            rho_tgt = rho_tgt + f_new[q]
+        vel_tgt_x = jnp.zeros((R, W), jnp.float32)
+        vel_tgt_y = jnp.zeros((R, W), jnp.float32)
+        count = jnp.zeros((R, W), jnp.float32)
+        valid = []
+        tq = jnp.where(t_ok, phi, 0.0)
+        tqr = tq / (tq + 1.0)  # hoisted: one divide instead of 18
+        for q in range(9):
+            ex, ey = int(E[q, 0]), int(E[q, 1])
+            nbr_obs = pull(obs_pad, -ex, -ey, "minmax") > 0.5
+            v_q = nbr_obs & t_ok
+            valid.append(v_q)
+            vmask = v_q.astype(jnp.float32)
+            count = count + vmask
+            ux = pull(vxp, ex, ey, "minmax")
+            uy = pull(vyp, ex, ey, "minmax")
+            vel_tgt_x = vel_tgt_x + vmask * tqr * ux
+            vel_tgt_y = vel_tgt_y + vmask * tqr * uy
+        safe_count = jnp.where(count > 0, count, 1.0)
+        u0 = vel_tgt_x / safe_count
+        u1 = vel_tgt_y / safe_count
 
-    def grad12(plane_pad):
-        def at(sx, sy):
-            return pull(plane_pad, -sx, -sy, "minmax")
+        def grad12(plane_pad):
+            def at(sx, sy):
+                return pull(plane_pad, -sx, -sy, "minmax")
 
-        gxx = (
-            4.0 * (at(1, 0) - at(-1, 0))
-            + (at(1, 1) - at(-1, 1))
-            + (at(1, -1) - at(-1, -1))
-        ) / 12.0
-        gyy = (
-            4.0 * (at(0, 1) - at(0, -1))
-            + (at(1, 1) - at(1, -1))
-            + (at(-1, 1) - at(-1, -1))
-        ) / 12.0
-        return gxx, gyy
+            gxx = (
+                4.0 * (at(1, 0) - at(-1, 0))
+                + (at(1, 1) - at(-1, 1))
+                + (at(1, -1) - at(-1, -1))
+            ) / 12.0
+            gyy = (
+                4.0 * (at(0, 1) - at(0, -1))
+                + (at(1, 1) - at(1, -1))
+                + (at(-1, 1) - at(-1, -1))
+            ) / 12.0
+            return gxx, gyy
 
-    g00, g01 = grad12(vxp)
-    g10, g11 = grad12(vyp)
+        g00, g01 = grad12(vxp)
+        g10, g11 = grad12(vyp)
 
-    for q in range(9):
-        qi = int(REFL[q])
-        e0, e1 = float(E[qi, 0]), float(E[qi, 1])
-        pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
-        pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
-        pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
-        pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
-        recon = float(W_Q[qi]) * rho_tgt * (
-            1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
-        )
-        mask = valid[q] & jnp.logical_not(skip)
-        f_new[qi] = jnp.where(mask, recon, f_new[qi])
+        for q in range(9):
+            qi = int(REFL[q])
+            e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+            pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+            pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+            pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+            pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+            recon = float(W_Q[qi]) * rho_tgt * (
+                1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1)
+                + 0.5 * pab / (CS2 * CS2)
+            )
+            mask = valid[q] & jnp.logical_not(skip)
+            f_new[qi] = jnp.where(mask, recon, f_new[qi])
 
     macro_rho = f_new[0]
     for q in range(1, 9):
@@ -796,14 +836,20 @@ def _full_step_rows(fp, vxp, vyp, flagsp, phi, gy0, R, H, W, A, FEQ_IN,
 
 
 def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
-                       minv_s_m, tile_map, bf16_dev=False, k=2):
+                       minv_s_m, tile_map, bf16_dev=False, k=2,
+                       variant="full"):
     """k full-boundary steps per pass on BT-row band tiles. The k-deep
     f/vel/flags halos come from the whole neighbour blocks the k=1 kernel
     already loads (bounding k <= BT); phi halos come from its full
     neighbour blocks. Step j runs on BT + 2(k-j) extended rows; its
     outputs are exactly the padded planes step j+1 needs. The chained
     vel is the step-j macro velocity, which is all later steps consume
-    (coupling stencils + INFLOW head; plain-fluid rows never read it)."""
+    (coupling stencils + INFLOW head; plain-fluid rows never read it).
+
+    ``variant`` specializes per band-tile set (see `_full_step_rows`):
+    "cyl" drops the y-border/INFLOW/OUTFLOW code, "edge" drops the
+    solid-fluid coupling AND the vel/phi inputs entirely (the kernel
+    signature shrinks to flags + f blocks)."""
     assert 2 <= k <= BT
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
@@ -812,43 +858,64 @@ def _make_full_kernel2(H, W, BT, tau, inflow_density, inflow_vx, inflow_vy,
     def stitchk(tp, md, bt):
         return jnp.concatenate([tp[-k:, :], md, bt[:k, :]], axis=0)
 
-    def kernel(
-        fl_tp, fl_m, fl_bt,
-        f_tp, f_m, f_bt,
-        vel_tp, vel_m, vel_bt,
-        phi_tp, phi_m, phi_bt,
-        f_out, rho_out, vel_out,
-    ):
-        t0 = tile_map(pl.program_id(0)) * BT
-        cur = [
-            ld(stitchk(f_tp[q], f_m[q], f_bt[q]), q) for q in range(9)
-        ]  # BT+2k rows: t0-k .. t0+BT+k-1
-        cvx = stitchk(vel_tp[0], vel_m[0], vel_bt[0])
-        cvy = stitchk(vel_tp[1], vel_m[1], vel_bt[1])
-        flagsp = stitchk(fl_tp[:], fl_m[:], fl_bt[:])
-        if k - 1 > 0:
-            phip = jnp.concatenate(
-                [phi_tp[-(k - 1):, :], phi_m[:], phi_bt[: k - 1, :]], axis=0
-            )  # BT+2(k-1) rows: t0-(k-1) .. t0+BT+k-2
-        else:
-            phip = phi_m[:]
+    args = (H, W, A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
+            inflow_density)
 
-        args = (H, W, A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
-                inflow_density)
+    def chain(t0, cur, cvx, cvy, flagsp, phip, f_out, rho_out, vel_out):
         rho_n = u_x = u_y = None
         for j in range(1, k + 1):
             R = BT + 2 * (k - j)
             fl = flagsp[j - 1 : j - 1 + R + 2, :]
-            ph = phip[j - 1 : j - 1 + R, :]
+            ph = None if phip is None else phip[j - 1 : j - 1 + R, :]
             cur, rho_n, u_x, u_y = _full_step_rows(
-                cur, cvx, cvy, fl, ph, t0 - (k - j), R, *args
+                cur, cvx, cvy, fl, ph, t0 - (k - j), R, *args,
+                variant=variant,
             )
-            cvx, cvy = u_x, u_y
+            if variant != "edge":
+                cvx, cvy = u_x, u_y
         for q in range(9):
             f_out[q] = cur[q] if st is None else st(cur[q], q)
         rho_out[:] = rho_n
         vel_out[0] = u_x
         vel_out[1] = u_y
+
+    if variant == "edge":
+
+        def kernel(
+            fl_tp, fl_m, fl_bt,
+            f_tp, f_m, f_bt,
+            f_out, rho_out, vel_out,
+        ):
+            t0 = tile_map(pl.program_id(0)) * BT
+            cur = [ld(stitchk(f_tp[q], f_m[q], f_bt[q]), q) for q in range(9)]
+            flagsp = stitchk(fl_tp[:], fl_m[:], fl_bt[:])
+            chain(t0, cur, None, None, flagsp, None,
+                  f_out, rho_out, vel_out)
+
+    else:
+
+        def kernel(
+            fl_tp, fl_m, fl_bt,
+            f_tp, f_m, f_bt,
+            vel_tp, vel_m, vel_bt,
+            phi_tp, phi_m, phi_bt,
+            f_out, rho_out, vel_out,
+        ):
+            t0 = tile_map(pl.program_id(0)) * BT
+            cur = [
+                ld(stitchk(f_tp[q], f_m[q], f_bt[q]), q) for q in range(9)
+            ]  # BT+2k rows: t0-k .. t0+BT+k-1
+            cvx = stitchk(vel_tp[0], vel_m[0], vel_bt[0])
+            cvy = stitchk(vel_tp[1], vel_m[1], vel_bt[1])
+            flagsp = stitchk(fl_tp[:], fl_m[:], fl_bt[:])
+            if k - 1 > 0:
+                phip = jnp.concatenate(
+                    [phi_tp[-(k - 1):, :], phi_m[:], phi_bt[: k - 1, :]],
+                    axis=0,
+                )  # BT+2(k-1) rows: t0-(k-1) .. t0+BT+k-2
+            else:
+                phip = phi_m[:]
+            chain(t0, cur, cvx, cvy, flagsp, phip, f_out, rho_out, vel_out)
 
     return _seeded(kernel, bf16_dev)
 
@@ -1109,8 +1176,13 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     fst = jnp.bfloat16 if bf16_dev else f32
     sr = bf16_dev == "sr"
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] if sr else []
-    seed_i = (seed * 2,) if sr else ()
-    seed_b = (seed * 2 + 1,) if sr else ()
+    # three kernel calls need three globally-unique seed streams: the
+    # caller draws TWO counter values (a, b); {2a, 2a+1, 2b} can never
+    # collide with each other or with any other call's streams (counter
+    # values are unique; evens come from distinct draws, odds likewise)
+    seed_i = (seed[0:1] * 2,) if sr else ()
+    seed_b = (seed[0:1] * 2 + 1,) if sr else ()
+    seed_e = (seed[1:2] * 2,) if sr else ()
     if write_macro:
         int_out_specs = [ib3(), ib2(), ib3(2)]
         int_out_shape = [
@@ -1134,82 +1206,122 @@ def _fused_step2_split_impl(f, rho, vel, flags, phi, H, W, T, BT, tau,
     else:
         (f1,), rho1, vel1 = int_out, rho, vel
 
-    # ---- band call (same tile set/merge as the k=1 split) ----
+    # ---- band calls (same tile set/merge as the k=1 split, but split
+    # further into a "cyl" call (tiles b0..b1, no y-border/in/outflow
+    # code) and an "edge" call (tiles 0 and n-1, no solid-fluid coupling
+    # and no vel/phi reads) — statically specialized kernels, since
+    # pl.when would not skip the dead compute. Exactness preconditions
+    # (cylinder band strictly inside (0, n-1)) are the split's b0>=1 /
+    # b1<=n-2 invariant, asserted here. ----
+    assert b0 >= 1 and b1 <= n - 2
     TB = T // BT
-    a_ = TB
     b_ = (b1 - b0 + 1) * TB
     nH = H // BT
 
-    def band_map(i):
-        return jnp.where(
-            i < a_,
-            i,
-            jnp.where(i < a_ + b_, b0 * TB + (i - a_), nH - TB + (i - a_ - b_)),
+    def cyl_map(i):
+        return b0 * TB + i
+
+    def edge_map(i):
+        return jnp.where(i < TB, i, nH - 2 * TB + i)
+
+    def mk_specs(im_mid, im_up, im_dn, with_velphi):
+        def b2(im):
+            return pl.BlockSpec(
+                (BT, W), lambda i: (im(i), 0), memory_space=pltpu.VMEM
+            )
+
+        def b3(im, c=9):
+            return pl.BlockSpec(
+                (c, BT, W), lambda i: (0, im(i), 0), memory_space=pltpu.VMEM
+            )
+
+        specs = [
+            b2(im_up), b2(im_mid), b2(im_dn),  # flags
+            b3(im_up), b3(im_mid), b3(im_dn),  # f
+        ]
+        if with_velphi:
+            specs += [
+                b3(im_up, 2), b3(im_mid, 2), b3(im_dn, 2),  # vel
+                b2(im_up), b2(im_mid), b2(im_dn),  # phi
+            ]
+        return specs
+
+    def compact_out(nt):
+        return (
+            [
+                pl.BlockSpec(
+                    (9, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (BT, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (2, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            [
+                jax.ShapeDtypeStruct((9, nt * BT, W), fst),
+                jax.ShapeDtypeStruct((nt * BT, W), f32),
+                jax.ShapeDtypeStruct((2, nt * BT, W), f32),
+            ],
         )
 
-    n_band = 2 * TB + b_
-    bk = _make_full_kernel2(
+    # cyl tiles sit strictly inside the domain: plain +-1 neighbours
+    ck = _make_full_kernel2(
         H, W, BT, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
-        band_map, bf16_dev=bf16_dev, k=k,
+        cyl_map, bf16_dev=bf16_dev, k=k, variant="cyl",
     )
-    nb = H // BT
-
-    def mid(i):
-        return band_map(i)
-
-    def up(i):
-        return jax.lax.rem(band_map(i) - 1 + nb, nb)
-
-    def dn(i):
-        return jax.lax.rem(band_map(i) + 1, nb)
-
-    def b2(im):
-        return pl.BlockSpec((BT, W), lambda i: (im(i), 0), memory_space=pltpu.VMEM)
-
-    def b3(im, c=9):
-        return pl.BlockSpec(
-            (c, BT, W), lambda i: (0, im(i), 0), memory_space=pltpu.VMEM
-        )
-
-    band_in_specs = [
-        b2(up), b2(mid), b2(dn),  # flags
-        b3(up), b3(mid), b3(dn),  # f
-        b3(up, 2), b3(mid, 2), b3(dn, 2),  # vel
-        b2(up), b2(mid), b2(dn),  # phi
-    ]
-    compact_out = [
-        pl.BlockSpec((9, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BT, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, BT, W), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-    ]
-    f2c, rho2c, vel2c = pl.pallas_call(
-        bk,
-        grid=(n_band,),
-        in_specs=smem + band_in_specs,
-        out_specs=compact_out,
-        out_shape=[
-            jax.ShapeDtypeStruct((9, n_band * BT, W), fst),
-            jax.ShapeDtypeStruct((n_band * BT, W), f32),
-            jax.ShapeDtypeStruct((2, n_band * BT, W), f32),
-        ],
+    c_specs, c_shape = compact_out(b_)
+    fcc, rhocc, velcc = pl.pallas_call(
+        ck,
+        grid=(b_,),
+        in_specs=smem + mk_specs(
+            cyl_map, lambda i: cyl_map(i) - 1, lambda i: cyl_map(i) + 1, True
+        ),
+        out_specs=c_specs,
+        out_shape=c_shape,
         compiler_params=_K2_VMEM,
     )(*seed_b, flags, flags, flags, f, f, f, vel, vel, vel, phi, phi, phi)
 
+    # edge tiles wrap their outward neighbour (masked off by at_y0/at_yH)
+    ek = _make_full_kernel2(
+        H, W, BT, tau, inflow_density, inflow_vx, inflow_vy, minv_s_m,
+        edge_map, bf16_dev=bf16_dev, k=k, variant="edge",
+    )
+    e_specs, e_shape = compact_out(2 * TB)
+    fec, rhoec, velec = pl.pallas_call(
+        ek,
+        grid=(2 * TB,),
+        in_specs=smem + mk_specs(
+            edge_map,
+            lambda i: jax.lax.rem(edge_map(i) - 1 + nH, nH),
+            lambda i: jax.lax.rem(edge_map(i) + 1, nH),
+            False,
+        ),
+        out_specs=e_specs,
+        out_shape=e_shape,
+        compiler_params=_K2_VMEM,
+    )(*seed_e, flags, flags, flags, f, f, f)
+
     nb_mid = (b1 - b0 + 1) * T
 
-    def merge(full, compact):
+    def merge(full, cyl_c, edge_c):
         full = jax.lax.dynamic_update_slice_in_dim(
-            full, compact[..., 0:T, :], 0, axis=full.ndim - 2
+            full, edge_c[..., 0:T, :], 0, axis=full.ndim - 2
         )
         full = jax.lax.dynamic_update_slice_in_dim(
-            full, compact[..., T : T + nb_mid, :], b0 * T, axis=full.ndim - 2
+            full, cyl_c[..., 0:nb_mid, :], b0 * T, axis=full.ndim - 2
         )
         full = jax.lax.dynamic_update_slice_in_dim(
-            full, compact[..., T + nb_mid :, :], H - T, axis=full.ndim - 2
+            full, edge_c[..., T:, :], H - T, axis=full.ndim - 2
         )
         return full
 
-    return merge(f1, f2c), merge(rho1, rho2c), merge(vel1, vel2c)
+    return (
+        merge(f1, fcc, fec),
+        merge(rho1, rhocc, rhoec),
+        merge(vel1, velcc, velec),
+    )
 
 
 _SPLIT2_STATIC = (
@@ -1385,8 +1497,13 @@ def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
     ctr = _SR_SEED_COUNTER if bf16_dev == "sr" else None
 
     def stepk(state, fields):
+        # two counter draws: the pass runs THREE kernels (interior, cyl
+        # band, edge band) needing three unique seed streams — see the
+        # parity-split note in `_fused_step2_split_impl`
         seed = (
-            jnp.asarray([next(ctr)], jnp.int32) if ctr is not None else None
+            jnp.asarray([next(ctr), next(ctr)], jnp.int32)
+            if ctr is not None
+            else None
         )
         f, rho_new, vel_new = fn(
             state["f"], state["rho"], state["vel"],
