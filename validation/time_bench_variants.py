@@ -36,16 +36,23 @@ def main():
     cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
     cells = res[0] * res[1]
     steps = 600
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results", "bench_variants.json")
     results = {}
+    if os.path.exists(out):  # accumulate across invocations
+        with open(out) as fo:
+            results = json.load(fo)
     for v in variants:
-        k, t = (int(x) for x in v.split(":"))
+        parts = [int(x) for x in v.split(":")]
+        (k, t), bt = parts[:2], (parts[2] if len(parts) > 2 else 8)
         state, fields = cyl.init(cfg)
-        stepk = fs.make_fused_step2(cfg, interior_rows=t, k=k)
+        stepk = fs.make_fused_step2(cfg, tile_rows=bt, interior_rows=t, k=k)
         if stepk is None:
             print(json.dumps({"variant": v, "error": "no split geometry"}),
                   flush=True)
             continue
-        step1 = fs.make_fused_step(cfg, interior_rows=t, write_macro=False)
+        step1 = fs.make_fused_step(cfg, tile_rows=bt, interior_rows=t,
+                                   write_macro=False)
         refresh = fs.make_macro_refresh(cfg)
 
         def run(st, n):
@@ -70,14 +77,12 @@ def main():
             best = min(best, time.perf_counter() - t0)
         mlups = cells * steps / best / 1e6
         results[v] = round(mlups, 1)
-        print(json.dumps({"variant": v, "k": k, "T": t,
+        print(json.dumps({"variant": v, "k": k, "T": t, "BT": bt,
                           "us_per_step": round(best / steps * 1e6, 1),
                           "mlups": round(mlups, 1)}), flush=True)
+        with open(out, "w") as fo:  # persist incrementally
+            json.dump(results, fo, indent=1)
     print(json.dumps({"all": results}), flush=True)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "results", "bench_variants.json")
-    with open(out, "w") as fo:
-        json.dump(results, fo, indent=1)
 
 
 if __name__ == "__main__":
