@@ -24,7 +24,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 def main():
     res = (2048, 2048)
     warmup_steps = 20
-    bench_steps = 200
+    # 600-step windows: the axon tunnel costs ~50 ms per submit+sync
+    # round trip (docs/PERFORMANCE.md #20), which at ~420 us/step is a
+    # >25% bias on a 200-step window; 600 steps keeps it under 10%
+    bench_steps = 600
 
     from jrl_lbm_tpu.models import cylinder as cyl
 

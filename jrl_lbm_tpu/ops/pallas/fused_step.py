@@ -1518,7 +1518,7 @@ def make_fused_step2(cfg, tile_rows: int = 8, interior_rows: int = 32,
     return stepk
 
 
-def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
+def make_fused_cylinder_runner(cfg, tile_rows: int = 16, split: bool = True,
                                interior_rows: int = 32,
                                bf16_dev: bool = False,
                                write_macro: bool = False):
@@ -1537,7 +1537,13 @@ def make_fused_cylinder_runner(cfg, tile_rows: int = 8, split: bool = True,
     the return value (all in-repo callers do), or pass
     ``write_macro=True`` to keep the non-donating semantics. When the
     split geometry allows it, pairs of steps run through the double-step
-    temporal-blocking kernels (any storage mode)."""
+    temporal-blocking kernels (any storage mode).
+
+    ``tile_rows`` (the band-tile height BT) defaults to 16: at k=4 the
+    chained band kernel runs BT+2(k-j) extended rows per step, so BT=8
+    pays 37.5% redundant band rows vs 18.7% at BT=16 — measured 9676 vs
+    10081 MLUPS at the 2048^2 bench (BT=32 is within noise of BT=16;
+    validation/results/bench_variants.json)."""
     step = make_fused_step(cfg, tile_rows, split=split,
                            interior_rows=interior_rows, bf16_dev=bf16_dev,
                            write_macro=write_macro)

@@ -28,7 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import batch_Pe
 
 
-def seed_balance(fluid: str, res=(128, 64)) -> None:
+def seed_balance(fluid: str, res=(128, 64), is_negative: bool = True) -> None:
     """Run the cheapest sweep case first so it creates the shared C_balance.h5.
 
     The balance h5 lives at a per-(shape, fluid, g) path with no Re/Pe in
@@ -44,31 +44,38 @@ def seed_balance(fluid: str, res=(128, 64)) -> None:
     as the sweep-order default (Re=1e-2: 8.7e9 steps, ~2.8 h) at 1/140th
     the cost. docs/STATUS.md records this choice.
     """
-    Re, Pe = (7e-5, 1e-3) if fluid == "water" else (1e-6, 1e-3)
+    if is_negative:
+        Re, Pe = (7e-5, 1e-3) if fluid == "water" else (1e-6, 1e-3)
+    else:
+        # positive-feedback water Res list is [3e-3, 1e-3, 7e-4]; the
+        # coarsest dt in it with a ~300x converged balance is (7e-4, 1e-2)
+        Re, Pe = 7e-4, 1e-2
     vel = Re * batch_Pe.viscs[fluid] / 12.5e-6
     shape = batch_Pe.shapes[fluid]
-    rec = batch_Pe.record_file(fluid, shape, tuple(res), Re, Pe, True)
+    rec = batch_Pe.record_file(fluid, shape, tuple(res), Re, Pe, is_negative)
     if os.path.exists(rec):
         print(f"[run_batch_pe] seed case already done: {rec}", flush=True)
         return
     t0 = time.time()
-    print(f"[run_batch_pe] seeding balance via Re={Re} Pe={Pe}", flush=True)
+    print(f"[run_batch_pe] seeding balance via Re={Re} Pe={Pe} "
+          f"neg={is_negative}", flush=True)
     batch_Pe.fluid_main(shape=shape, res=res, Re=Re, vel_obs_real=vel,
                         gravity_strength_real=-9.8, Rg=4, fluid=fluid,
                         progress=True)
     batch_Pe.c_main(shape=shape, res=res, balance_time=600, Re=Re, Pe=Pe,
                     vel_obs_real=vel, gravity_strength_real=-9.8, Rg=4,
-                    fluid=fluid, is_negative=True, progress=True)
+                    fluid=fluid, is_negative=is_negative, progress=True)
     print(f"[run_batch_pe] seed case done in {time.time() - t0:.0f}s",
           flush=True)
 
 
 if __name__ == "__main__":
     fluid = sys.argv[1] if len(sys.argv) > 1 else "water"
+    is_negative = "positive" not in sys.argv[2:]
     t0 = time.time()
-    print(f"[run_batch_pe] devices={jax.devices()} fluid={fluid} out={OUT}",
-          flush=True)
-    seed_balance(fluid)
-    batch_Pe.main(fluid=fluid, is_negative=True, res=(128, 64),
+    print(f"[run_batch_pe] devices={jax.devices()} fluid={fluid} out={OUT} "
+          f"neg={is_negative}", flush=True)
+    seed_balance(fluid, is_negative=is_negative)
+    batch_Pe.main(fluid=fluid, is_negative=is_negative, res=(128, 64),
                   skip_existing=True, progress=True)
     print(f"[run_batch_pe] total wall {time.time() - t0:.0f}s", flush=True)
