@@ -53,15 +53,30 @@ def pick_similarity_pair():
 def main():
     n_rec = len(os.listdir(os.path.join(OUT, "_45degree_g9", "records")))
     print(f"[sweep_plots] {n_rec} records", flush=True)
+    # positive-feedback family first: demo_plot_Pe always writes
+    # plot_Pe.png (reference behavior), so stash the positive one aside
+    pos_dir = os.path.join(OUT, "_45degree_g9", "records_positive")
+    if os.path.isdir(pos_dir) and os.listdir(pos_dir):
+        demo_plot_Pe.main(fluid="water", is_negative=False)
+        shutil.move(os.path.join(OUT, "plot_Pe.png"),
+                    os.path.join(OUT, "plot_Pe_positive.png"))
     demo_plot_Pe.main(fluid="water", is_negative=True)
     demo_plot_water.main(fluid="water", is_negative=True)
+    # NOTE: no plot_ethaline here. The physical-Pe ethaline case
+    # (Pe=184) hits the reference's vel_obs_conv>0.1 clamp, which drives
+    # tau_D to 0.5106 (demo_2d_LBM_JRL_C_ethaline.py:95-102) — the
+    # near-zero-diffusivity limit of the advection-diffusion lattice is
+    # dispersive at refine 1 and the curve oscillates; the record is
+    # kept as honest data of the reference scheme at its own
+    # parametrization, but the plot would mislead.
     pair = pick_similarity_pair()
     if pair:
         demo_plot_similarity.main(records=pair[0], labels=pair[1])
     else:
         print("[sweep_plots] <2 matched-Pe records; no similarity plot",
               flush=True)
-    for png in ("plot_Pe.png", "plot_water.png", "plot_similarity.png"):
+    for png in ("plot_Pe.png", "plot_water.png", "plot_similarity.png",
+                "plot_Pe_positive.png"):
         src = os.path.join(OUT, png)
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(RESULTS, png))

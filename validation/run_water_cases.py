@@ -29,41 +29,45 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import batch_Pe
 
-# demo_plot_water.py:43 Re list; Pe derived per-Re from the real material
-RES = [1e-2, 7e-3, 5e-3, 1e-3, 7e-4, 5e-4, 3e-4, 1e-4, 7e-5]
-D_WATER = 7.85e-10
+# demo_plot_water.py:43-55 Re lists; Pe derived per-Re from the material
+PLOT_RES = {
+    "water": [1e-2, 7e-3, 5e-3, 1e-3, 7e-4, 5e-4, 3e-4, 1e-4, 7e-5],
+    "ethaline": [1e-4],
+}
 RADIUS = 12.5e-6
 
 
-def main():
+def main(fluid="water"):
     t0 = time.time()
-    visc = batch_Pe.viscs["water"]
+    visc = batch_Pe.viscs[fluid]
+    shape = batch_Pe.shapes[fluid]
+    D = batch_Pe.Ds[fluid]
+    res_list = PLOT_RES[fluid]
     n_done = 0
-    for Re in RES:
+    for Re in res_list:
         vel_obs = Re * visc / RADIUS
-        Pe = vel_obs * RADIUS / D_WATER  # demo_plot_water.py:64-65 floats
-        rec = batch_Pe.record_file("water", "45degree", (128, 64), Re, Pe,
-                                   True)
+        Pe = vel_obs * RADIUS / D  # demo_plot_water.py:64-65 floats
+        rec = batch_Pe.record_file(fluid, shape, (128, 64), Re, Pe, True)
         if os.path.exists(rec):
             n_done += 1
             print(f"[water_cases] skip existing Re={Re} Pe={Pe}", flush=True)
             continue
         t_case = time.time()
-        print(f"[water_cases] Re={Re} Pe={Pe}", flush=True)
-        batch_Pe.fluid_main(shape="45degree", res=(128, 64), Re=Re,
+        print(f"[water_cases] {fluid} Re={Re} Pe={Pe}", flush=True)
+        batch_Pe.fluid_main(shape=shape, res=(128, 64), Re=Re,
                             vel_obs_real=vel_obs,
-                            gravity_strength_real=-9.8, Rg=4, fluid="water",
+                            gravity_strength_real=-9.8, Rg=4, fluid=fluid,
                             progress=True)
-        batch_Pe.c_main(shape="45degree", res=(128, 64), balance_time=600,
+        batch_Pe.c_main(shape=shape, res=(128, 64), balance_time=600,
                         Re=Re, Pe=Pe, vel_obs_real=vel_obs,
-                        gravity_strength_real=-9.8, Rg=4, fluid="water",
+                        gravity_strength_real=-9.8, Rg=4, fluid=fluid,
                         is_negative=True, progress=True)
         n_done += 1
         print(f"[water_cases] done Re={Re} in {time.time() - t_case:.0f}s "
-              f"({n_done}/{len(RES)})", flush=True)
-    print(f"[water_cases] all {n_done}/{len(RES)} in {time.time() - t0:.0f}s",
-          flush=True)
+              f"({n_done}/{len(res_list)})", flush=True)
+    print(f"[water_cases] all {n_done}/{len(res_list)} in "
+          f"{time.time() - t0:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "water")
