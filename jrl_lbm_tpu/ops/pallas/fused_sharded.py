@@ -56,6 +56,36 @@ CS2 = 1.0 / 3.0
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+class _WrapPlane:
+    """Tile-plane access over a row-extended (h+2, w) window on a shard
+    spanning the FULL global width (nx == 1): x offsets are plain
+    periodic lane rolls — no cross-shard columns exist, and the
+    reference's own x rule for FLUID cells at the domain edge IS the
+    periodic wrap (`propagation.cu:84-87`; non-FLUID edge cells are
+    overridden by the caller's masks). Bitwise-identical to `_RollPlane`
+    fed with the nx==1 self-wrap halo columns, without ever slicing a
+    column out of f (a column slice forces XLA to materialize a
+    transposed-layout copy of the whole array — measured ~490 us/step
+    at 2048^2)."""
+
+    def __init__(self, win, h, w):
+        self.win = win
+        self.h = h
+        self.w = w
+
+    def mid(self):
+        return self.win[1:-1, :]
+
+    def sl(self, yo, xo):
+        rows = self.win[1 + yo : 1 + yo + self.h, :]
+        if xo == 0:
+            return rows
+        return pltpu.roll(rows, (-xo) % self.w, axis=1)
+
+    def map(self, fn):
+        return _WrapPlane(fn(self.win), self.h, self.w)
+
+
 class _PadPlane:
     """Tile-plane access over a 1-cell-padded (h+2, w+2) array (the
     single-tile-per-shard layout). `sl(yo, xo)` is the (h, w) patch at
@@ -325,20 +355,29 @@ def _padded_block_step(off, flagsp, fp, velp, rho, phi, h, w, H, W, tau,
 MAX_SINGLE_TILE_CELLS = 600_000
 
 
-def _halo_pieces(x, ay: str, ax: str):
+def _halo_pieces(x, ay: str, ax: str, cols: bool = True):
     """Cross-shard halo pieces of a ``(..., h, w)`` block WITHOUT building
     the ``(h+2, w+2)`` padded copy: returns ``(top, bot, lcol, rcol)``
     where top/bot are the 1-row y halos ``(..., 1, w)`` and lcol/rcol are
     ``(..., h+2, 1)`` x-halo columns of the row-EXTENDED block, so the
     four diagonal corner cells ride in the columns (same two-phase trick
     as `parallel.halo.pad_halo`). Only O(surface) bytes are copied; the
-    body array feeds the kernel directly through BlockSpecs."""
+    body array feeds the kernel directly through BlockSpecs.
+
+    ``cols=False`` (full-width shards, nx == 1) skips the columns
+    entirely: slicing a column out of the f-major layout makes XLA
+    materialize a transposed copy of the WHOLE array (~490 us/step at
+    2048^2, found in the compiled HLO), and on an nx==1 mesh the column
+    values are just the periodic wrap the kernels can reproduce with a
+    lane roll."""
     from jrl_lbm_tpu.parallel.halo import _ring_perm
 
     ny = jax.lax.axis_size(ay)
     nx = jax.lax.axis_size(ax)
     top = jax.lax.ppermute(x[..., -1:, :], ay, _ring_perm(ny, 1))
     bot = jax.lax.ppermute(x[..., :1, :], ay, _ring_perm(ny, -1))
+    if not cols:
+        return top, bot, None, None
     colR = jnp.concatenate(
         [top[..., :, -1:], x[..., :, -1:], bot[..., :, -1:]], axis=-2
     )
@@ -475,6 +514,333 @@ def _tiled_block_step(off, flags, f, vel, rho, phi, top, bot, lcol, rcol,
       top8, bot8, lwin, rwin, rho, phi)
 
 
+# ---------------------------------------------------------------------------
+# Lean-interior / band-fix split for the sharded path.
+#
+# The unsharded fused step owes most of its rate to STATIC interior/band
+# specialization (docs/PERFORMANCE.md #4): ~95% of rows run a lean
+# plain-channel kernel, the full-boundary kernel only touches the
+# cylinder/inflow/outflow band. Under shard_map that static split is
+# impossible per se — one SPMD program serves every shard and a shard
+# only knows its global offset as a traced scalar — so the sharded
+# analog is dynamic:
+#
+#   1. a row-tiled LEAN kernel sweeps the whole shard treating every row
+#      as a plain channel row (side walls at global x=0/W-1, the INFLOW
+#      plug at global y=0 and the OUTFLOW copy at y=H-1 as row-masked
+#      selects, FLUID elsewhere; f in, f+macro out — no
+#      flags/vel/phi/rho traffic);
+#   2. for the STATIC cylinder +- margin row region, a `lax.cond`-gated
+#      WINDOW pass recomputes the shard's intersection with the full
+#      `_block_update` from the pre-step state and
+#      `dynamic_update_slice`s the rows into the lean output. Shards
+#      that do not intersect skip the kernel at runtime and pay only an
+#      nb-row slice copy.
+#
+# Lean output on cylinder-band rows is garbage by design; the window
+# pass rewrites every such row (the region mirrors
+# fused_step._band_tiles: margin=4 rows past the surface so all
+# sub-grid-interp/SFC-stencil-affected rows are recomputed).
+# ---------------------------------------------------------------------------
+
+
+def _lean_block_update(wins, lcws, rcws, row0, col0, rows, w, H, W, A,
+                       wall_density, feq_in, x_whole):
+    """Plain-channel update (OBSTACLE side walls at global x=0/W-1, the
+    INFLOW plug row at global y=0, the OUTFLOW copy row at y=H-1, all
+    other cells FLUID) on a (rows, w) tile — the sharded twin of
+    `fused_step._lean_step_rows` (same reference semantics:
+    `propagation.cu:84-87` reflect-clamp + half-way bounce,
+    `propagation.cu:195-377` OUTFLOW/INFLOW, `LBM_collision_MRT_2d.py`
+    MRT). The y-border rules are row-masked selects off the tile's
+    global row offset — cheap enough to fold into the lean sweep, which
+    removes two of the three band-fix windows. ``wins`` are (rows+2, w)
+    row windows per population; ``lcws/rcws`` the (rows+2, 1)
+    cross-shard x-halo columns (unused when ``x_whole``: the shard spans
+    the full global width, so x pulls are plain rolls). Each x pull
+    costs ONE roll: the single wrong lane (shard edge) is patched from a
+    column — the cross-shard halo column, or the reflect-clamp column
+    rows[:, 1] / rows[:, w-2] when this shard owns the global wall."""
+    gx = col0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    gy = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    is_obs = at_x0 | at_xW
+    nbr_lo = gx == 1
+    nbr_hi = gx == W - 2
+    lx = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    is_left = col0 == 0  # scalar: this shard owns the global left wall
+    is_right = col0 + w == W
+
+    f_mid = [wins[q][1 : 1 + rows, :] for q in range(9)]
+
+    def pull(q):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        yrows = wins[q][1 - ey : 1 - ey + rows, :]
+        if ex == 0:
+            return yrows
+        base = pltpu.roll(yrows, ex % w, axis=1)
+        if ex == 1:  # lane 0 is wrong: wall col 0 reflect-clamps to
+            # col 1, interior shard edges pull from the left shard
+            refl = yrows[:, 1:2]
+            col = refl if x_whole else jnp.where(
+                is_left, refl, lcws[q][1 - ey : 1 - ey + rows, :]
+            )
+            return jnp.where(lx == 0, col, base)
+        refl = yrows[:, w - 2 : w - 1]
+        col = refl if x_whole else jnp.where(
+            is_right, refl, rcws[q][1 - ey : 1 - ey + rows, :]
+        )
+        return jnp.where(lx == w - 1, col, base)
+
+    raw_in = [f_mid[0]] + [pull(q) for q in range(1, 9)]
+    f_new = [raw_in[0]]
+    for q in range(1, 9):
+        ex = int(E[q, 0])
+        streamed = raw_in[q]
+        if ex == 1:  # pull neighbour is the left wall: half-way bounce
+            streamed = jnp.where(nbr_lo, f_mid[int(REFL[q])], streamed)
+        elif ex == -1:
+            streamed = jnp.where(nbr_hi, f_mid[int(REFL[q])], streamed)
+        f_new.append(jnp.where(is_obs, raw_in[int(REFL[q])], streamed))
+
+    # INFLOW plug row (global y=0; the corner wall cells stay is_obs) and
+    # OUTFLOW inward copy (y=H-1 pulls all 9 from y=H-2) — same order as
+    # `_block_update`; the macro/MRT below then see the patched planes
+    not_obs = jnp.logical_not(is_obs)
+    in_mask = (gy == 0) & not_obs
+    of_mask = (gy == H - 1) & not_obs
+    for q in range(9):
+        g = jnp.where(in_mask, feq_in[q], f_new[q])
+        f_new[q] = jnp.where(of_mask, pltpu.roll(g, 1, axis=0), g)
+
+    macro_rho = f_new[0]
+    for q in range(1, 9):
+        macro_rho = macro_rho + f_new[q]
+    rho_n = jnp.where(is_obs, wall_density, macro_rho)
+    mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+    mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    u_x = jnp.where(is_obs, 0.0, mom_x / safe_rho)
+    u_y = jnp.where(is_obs, 0.0, mom_y / safe_rho)
+    f_out = [None] * 9
+    _mrt_apply(A, f_new, _feq_terms(rho_n, u_x, u_y), is_obs, f_out)
+    return f_out, rho_n, u_x, u_y
+
+
+@partial(jax.jit, static_argnames=("th", "h", "w", "H", "W",
+                                   "wall_density", "inflow_density",
+                                   "inflow_vx", "inflow_vy", "minv_s_m",
+                                   "x_whole", "interpret"))
+def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
+                     wall_density, inflow_density, inflow_vx, inflow_vy,
+                     minv_s_m, x_whole, interpret):
+    """Row-tiled lean pass over the whole shard (incl. the y-border
+    INFLOW/OUTFLOW rules as row-masked selects). Cylinder-band rows come
+    out wrong and are rewritten by `_apply_window_fix`. ``x_whole``
+    (static) marks shards spanning the full global width (nx == 1
+    meshes): x pulls then need no cross-shard columns at all."""
+    A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+    FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
+    f32 = jnp.float32
+    n_t = h // th
+    g = th // 8
+
+    def kernel(off_ref, f_ref, fu_ref, fd_ref, top_ref, bot_ref,
+               *col_refs_and_outs):
+        if x_whole:
+            f_out, rho_out, vel_out = col_refs_and_outs
+            lw_ref = rw_ref = None
+        else:
+            lw_ref, rw_ref, f_out, rho_out, vel_out = col_refs_and_outs
+        i = pl.program_id(0)
+        first = i == 0
+        last = i == n_t - 1
+
+        def win(q):
+            above = jnp.where(first, top_ref[q, -1:, :], fu_ref[q][-1:, :])
+            below = jnp.where(last, bot_ref[q, 0:1, :], fd_ref[q][0:1, :])
+            return jnp.concatenate([above, f_ref[q], below], axis=0)
+
+        wins = [win(q) for q in range(9)]
+        lcws = None if x_whole else [lw_ref[0, q] for q in range(9)]
+        rcws = None if x_whole else [rw_ref[0, q] for q in range(9)]
+        fs, rho_n, u_x, u_y = _lean_block_update(
+            wins, lcws, rcws, off_ref[0] + i * th, off_ref[1], th, w, H, W,
+            A, wall_density, FEQ_IN, x_whole,
+        )
+        for q in range(9):
+            f_out[q] = fs[q]
+        rho_out[:] = rho_n
+        vel_out[0] = u_x
+        vel_out[1] = u_y
+
+    def up_map(i):
+        return (0, jnp.maximum(i * g - 1, 0), 0)
+
+    def dn_map(i):
+        return (0, jnp.minimum((i + 1) * g, h // 8 - 1), 0)
+
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # off
+        pl.BlockSpec((9, th, w), lambda i: (0, i, 0)),  # f mid
+        pl.BlockSpec((9, 8, w), up_map),  # f up
+        pl.BlockSpec((9, 8, w), dn_map),  # f dn
+        pl.BlockSpec((9, 8, w), lambda i: (0, 0, 0)),  # ppermute top
+        pl.BlockSpec((9, 8, w), lambda i: (0, 0, 0)),  # ppermute bot
+    ]
+    args = [off, f, f, f, topf, botf]
+    if not x_whole:
+        specs += [
+            pl.BlockSpec((1, 9, th + 2, 1), lambda i: (i, 0, 0, 0)),  # lcol
+            pl.BlockSpec((1, 9, th + 2, 1), lambda i: (i, 0, 0, 0)),  # rcol
+        ]
+        args += [lwinf, rwinf]
+    return pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((9, th, w), lambda i: (0, i, 0)),
+            pl.BlockSpec((th, w), lambda i: (i, 0)),
+            pl.BlockSpec((2, th, w), lambda i: (0, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, h, w), f32),
+            jax.ShapeDtypeStruct((h, w), f32),
+            jax.ShapeDtypeStruct((2, h, w), f32),
+        ],
+        compiler_params=None if interpret else _VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+@partial(jax.jit, static_argnames=("nb", "w", "H", "W", "tau",
+                                   "inflow_density", "inflow_vx",
+                                   "inflow_vy", "minv_s_m", "x_whole",
+                                   "interpret"))
+def _window_full_step(woff, st, lcw, rcw, rho, phi, nb, w, H, W, tau,
+                      inflow_density, inflow_vx, inflow_vy, minv_s_m,
+                      x_whole, interpret):
+    """Full `_block_update` on an (nb, w) row window whose padded state
+    arrives pre-sliced: ``st`` stacks 12 (nb+2, w) planes (flags-as-f32,
+    f x9, vel x2), ``lcw/rcw`` the matching (nb+2, 1) cross-shard x-halo
+    columns (None when ``x_whole``: full-width shards use periodic lane
+    rolls instead), ``woff`` the window's global (row, col) offset."""
+    A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
+    FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
+    f32 = jnp.float32
+
+    def kernel(off_ref, st_ref, *rest):
+        if x_whole:
+            rho_ref, phi_ref, f_out, rho_out, vel_out = rest
+
+            def rp(plane):
+                return _WrapPlane(st_ref[plane], nb, w)
+
+        else:
+            lw_ref, rw_ref, rho_ref, phi_ref, f_out, rho_out, vel_out = rest
+
+            def rp(plane):
+                return _RollPlane(st_ref[plane], lw_ref[plane],
+                                  rw_ref[plane], nb, w)
+
+        fs, rho_n, u_x, u_y = _block_update(
+            rp(0), [rp(1 + q) for q in range(9)], [rp(10), rp(11)],
+            rho_ref[:], phi_ref[:], nb, w, H, W,
+            off_ref[0], off_ref[1],
+            A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
+        )
+        for q in range(9):
+            f_out[q] = fs[q]
+        rho_out[:] = rho_n
+        vel_out[0] = u_x
+        vel_out[1] = u_y
+
+    n_in = 3 if x_whole else 5
+    args = (woff, st, rho, phi) if x_whole else (woff, st, lcw, rcw, rho, phi)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((9, nb, w), f32),
+            jax.ShapeDtypeStruct((nb, w), f32),
+            jax.ShapeDtypeStruct((2, nb, w), f32),
+        ],
+        compiler_params=None if interpret else _VMEM_PARAMS,
+        interpret=interpret,
+    )(*args)
+
+
+def _apply_window_fix(region, row0, col0, flags, f, vel, rho, phi,
+                      top, bot, lcol, rcol, f1, rho1, vel1,
+                      h, w, H, W, tau, inflow_density, inflow_vx,
+                      inflow_vy, minv_s_m, x_whole, interpret):
+    """Recompute this shard's intersection with the static global row
+    region ``[gr0, gr1)`` using the full kernel, writing the rows into
+    the lean outputs (f1, rho1, vel1). Gated by `lax.cond`: a shard that
+    does not intersect pays only the window slice copies."""
+    gr0, gr1 = region
+    nb = gr1 - gr0  # static, 8-aligned, <= h - 8 (checked by caller)
+    f32 = jnp.float32
+    pred = (row0 < gr1) & (row0 + h > gr0)
+    b0 = jnp.clip(jnp.int32(gr0) - row0, 0, h - nb)
+    # (nb+2)-row windows of the pre-step state rows [b0-1, b0+nb+1);
+    # the clamped slice start keeps the slice in-bounds, the two
+    # `where`s swap in the ppermute pieces for the virtual rows -1 / h
+    c = jnp.clip(b0 - 1, 0, h - (nb + 2))
+    wfl = jax.lax.dynamic_slice(flags, (c, 0), (nb + 2, w)).astype(f32)
+    wf = jax.lax.dynamic_slice(f, (0, c, 0), (9, nb + 2, w))
+    wv = jax.lax.dynamic_slice(vel, (0, c, 0), (2, nb + 2, w))
+    st = jnp.concatenate([wfl[None], wf, wv], axis=0)  # (12, nb+2, w)
+    st = jnp.where(b0 == 0,
+                   jnp.concatenate([top, st[:, :-1]], axis=1), st)
+    st = jnp.where(b0 + nb == h,
+                   jnp.concatenate([st[:, 1:], bot], axis=1), st)
+    lcw = rcw = None
+    if not x_whole:
+        # lcol row 0 is global row -1, so offset b0 = rows [b0-1, b0+nb+1)
+        lcw = jax.lax.dynamic_slice(lcol, (0, b0, 0), (12, nb + 2, 1))
+        rcw = jax.lax.dynamic_slice(rcol, (0, b0, 0), (12, nb + 2, 1))
+    wrho = jax.lax.dynamic_slice(rho, (b0, 0), (nb, w))
+    wphi = jax.lax.dynamic_slice(phi, (b0, 0), (nb, w))
+    cur = (
+        jax.lax.dynamic_slice(f1, (0, b0, 0), (9, nb, w)),
+        jax.lax.dynamic_slice(rho1, (b0, 0), (nb, w)),
+        jax.lax.dynamic_slice(vel1, (0, b0, 0), (2, nb, w)),
+    )
+    woff = jnp.stack([row0 + b0, col0]).astype(jnp.int32)
+
+    def fix(_):
+        return _window_full_step(
+            woff, st, lcw, rcw, wrho, wphi, nb, w, H, W, tau,
+            inflow_density, inflow_vx, inflow_vy, minv_s_m, x_whole,
+            interpret,
+        )
+
+    fw, rw, vw = jax.lax.cond(pred, fix, lambda _: cur, None)
+    f1 = jax.lax.dynamic_update_slice(f1, fw, (0, b0, 0))
+    rho1 = jax.lax.dynamic_update_slice(rho1, rw, (b0, 0))
+    vel1 = jax.lax.dynamic_update_slice(vel1, vw, (0, b0, 0))
+    return f1, rho1, vel1
+
+
+def _fix_regions(cfg, margin=4.0):
+    """Static 8-aligned global row regions where the lean pass is wrong:
+    the cylinder +- margin group (same margin as
+    `fused_step._band_tiles`). The y-border INFLOW/OUTFLOW rows are
+    handled inside the lean kernel itself (row-masked selects), so they
+    need no fix window."""
+    H, _ = cfg.res
+    cy = cfg.center[1]
+    r = cfg.D / 2.0
+    c0 = max(0, int((cy - r - margin) // 8) * 8)
+    c1 = min(H, int(-((cy + r + margin) // -8)) * 8)
+    return [(c0, c1)] if c1 > c0 else []
+
+
 def _pick_tile_rows(h, w):
     """None (single-tile fits VMEM) or the largest multiple-of-8 tile
     height <= 64 that divides h."""
@@ -492,7 +858,8 @@ def _pick_tile_rows(h, w):
 
 
 def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
-                                     tile_rows=0):
+                                     tile_rows=0, lean_split=None,
+                                     lean_x_whole=None):
     """Sharded fused step: `ppermute` halos + one Pallas call per shard.
 
     Same (state, fields) -> state contract as
@@ -504,6 +871,12 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
     shard while the padded block fits the VMEM budget, the row-tiled
     grid kernel beyond it; ``None`` forces single-tile; an explicit
     multiple of 8 forces that tile height.
+
+    ``lean_split``: None (default) auto-enables the lean-interior /
+    band-fix split (the sharded analog of the unsharded interior/band
+    specialization) when the shard geometry allows it; True forces it
+    (raises if ineligible); False keeps the full-boundary kernel on
+    every row (the pre-split behavior, kept for A/B and small shards).
     """
     from jrl_lbm_tpu.parallel.halo import pad_halo
     from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
@@ -514,6 +887,23 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
     assert H % ny == 0 and W % nx == 0, "grid must tile the mesh"
     h, w = H // ny, W // nx
     assert h >= 3 and w >= 3, "blocks must be at least 3 cells wide"
+    regions = _fix_regions(cfg)
+    lean_ok = (
+        h % 8 == 0
+        and w % 8 == 0
+        and max((hi - lo for lo, hi in regions), default=0) <= h - 8
+    )
+    if lean_split is None:
+        lean_split = lean_ok
+    elif lean_split and not lean_ok:
+        raise ValueError(
+            f"lean_split needs 8-aligned shards with h - 8 >= the largest "
+            f"band region; got h={h}, w={w}, regions={regions}"
+        )
+    if lean_split:
+        lean_th = tile_rows if tile_rows else 64
+        while h % lean_th:
+            lean_th //= 2
     if tile_rows == 0:
         tile_rows = _pick_tile_rows(h, w)
     if tile_rows is not None and (tile_rows % 8 or h % tile_rows):
@@ -527,6 +917,42 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
         row0 = jax.lax.axis_index(AXIS_Y) * h
         col0 = jax.lax.axis_index(AXIS_X) * w
         off = jnp.stack([row0, col0]).astype(jnp.int32)
+        if lean_split:
+            f32 = jnp.float32
+            x_whole = (nx == 1) if lean_x_whole is None else lean_x_whole
+            assert not (x_whole and nx > 1), "x_whole needs full-width shards"
+            tf, bf, lf, rf = _halo_pieces(
+                flags.astype(f32)[None], AXIS_Y, AXIS_X, cols=not x_whole
+            )
+            tF, bF, lF, rF = _halo_pieces(f, AXIS_Y, AXIS_X,
+                                          cols=not x_whole)
+            tv, bv, lv, rv = _halo_pieces(vel, AXIS_Y, AXIS_X,
+                                          cols=not x_whole)
+            top = jnp.concatenate([tf, tF, tv], axis=0)
+            bot = jnp.concatenate([bf, bF, bv], axis=0)
+            lcol = rcol = None
+            zero7 = jnp.zeros((9, 7, w), f32)
+            topf = jnp.concatenate([zero7, top[1:10]], axis=-2)
+            botf = jnp.concatenate([bot[1:10], zero7], axis=-2)
+            lwinf = rwinf = None
+            if not x_whole:
+                lcol = jnp.concatenate([lf, lF, lv], axis=0)
+                rcol = jnp.concatenate([rf, rF, rv], axis=0)
+                lwinf = _col_windows(lcol[1:10], lean_th, h // lean_th)
+                rwinf = _col_windows(rcol[1:10], lean_th, h // lean_th)
+            f1, rho1, vel1 = _lean_tiled_step(
+                off, f, topf, botf, lwinf, rwinf, lean_th, h, w, H, W,
+                float(cfg.density), float(cfg.density), iv[0], iv[1],
+                minv_t, x_whole, interpret,
+            )
+            for region in regions:
+                f1, rho1, vel1 = _apply_window_fix(
+                    region, row0, col0, flags, f, vel, rho, phi_obs,
+                    top, bot, lcol, rcol, f1, rho1, vel1,
+                    h, w, H, W, float(cfg.tau), float(cfg.density),
+                    iv[0], iv[1], minv_t, x_whole, interpret,
+                )
+            return f1, rho1, vel1
         if tile_rows is not None:
             # O(surface) halo pieces only — the body arrays are NOT
             # copied or padded (they BlockSpec straight into the kernel)
@@ -578,9 +1004,12 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
 
 
 def make_sharded_fused_cylinder_runner(cfg, mesh, interpret: bool = False,
-                                       tile_rows=0):
+                                       tile_rows=0, lean_split=None,
+                                       lean_x_whole=None):
     step = make_sharded_fused_cylinder_step(cfg, mesh, interpret=interpret,
-                                            tile_rows=tile_rows)
+                                            tile_rows=tile_rows,
+                                            lean_split=lean_split,
+                                            lean_x_whole=lean_x_whole)
     jstep = jax.jit(step)
 
     def run(state, fields, n: int):

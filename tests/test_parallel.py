@@ -315,6 +315,57 @@ def test_sharded_fused_tiled_cylinder_matches_unsharded():
         np.testing.assert_allclose(a[mask], b[mask], rtol=tol, atol=tol, err_msg=key)
 
 
+@pytest.mark.parametrize(
+    "mesh_shape,cy",
+    [
+        # cylinder interior to shard 0 (pred-true fix with interior b0;
+        # shard 1 pred-false); generic lane-patched x variant
+        ((2, 4), 24.0),
+        # same geometry on full-width shards: the x_whole lean variant
+        ((2, 1), 24.0),
+        # cylinder band straddling the shard boundary: shard 0's window
+        # clamps to b0+nb==h (bottom patch), shard 1's to b0==0 (top
+        # patch) — both cross-shard window paths execute
+        ((2, 4), 48.0),
+    ],
+)
+def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy):
+    """Lean-interior / band-fix sharded path == the single-device step.
+
+    The grid is sized so the lean split is eligible (the cylinder band
+    region fits a shard with margin); the INFLOW/OUTFLOW rows are
+    handled inside the lean kernel and are covered by every case (both
+    shards own one y border each)."""
+    from jrl_lbm_tpu.ops.pallas import fused_sharded as fsh
+
+    ny, nx = mesh_shape
+    W = 32 * nx
+    cfg = cyl.CylinderConfig(
+        res=(96, W), D=7.4, Re=500.0, cylinder_center=(W / 2.0, cy)
+    )
+    state, fields = cyl.init(cfg)
+    _assert_coupling_mask_nonempty(fields)
+    regions = fsh._fix_regions(cfg)
+    assert regions == ([(16, 32)] if cy == 24.0 else [(40, 56)])
+    run_ref = cyl.make_runner(cfg)
+    ref = jax.tree.map(np.asarray, run_ref(state, fields, 6))
+
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[: ny * nx])
+    sstate, sfields = shard_state(state, fields, mesh)
+    run_sh = fsh.make_sharded_fused_cylinder_runner(
+        cfg, mesh, interpret=True, lean_split=True
+    )
+    out = run_sh(sstate, sfields, 6)
+
+    flags = np.asarray(fields["flags"])
+    fluid = flags != int(CellType.OBSTACLE)
+    for key, tol in (("f", 2e-5), ("rho", 2e-5), ("vel", 2e-4)):
+        a = np.asarray(out[key])
+        b = ref[key]
+        mask = fluid if a.ndim == 2 else np.broadcast_to(fluid, a.shape)
+        np.testing.assert_allclose(a[mask], b[mask], rtol=tol, atol=tol, err_msg=key)
+
+
 def test_pad_halo_corners_and_wrap():
     """Halo values = global periodic neighbours, including corners."""
     from jrl_lbm_tpu.parallel.halo import pad_halo

@@ -9,8 +9,9 @@ production 2048^2-per-chip cylinder scene.
 
 Model
 -----
-Sharded step = fused per-shard kernel (measured) + halo exchange
-(modelled) + per-call shard_map overhead (measured on a 1x1 mesh).
+Sharded step = fused per-shard kernel rate (MEASURED on a real 1x1 mesh,
+lean-split path: x_whole variant for 1-wide row meshes, generic
+lane-patched variant for 2D meshes) + halo exchange (modelled).
 
 Halo traffic per chip per step (fused_sharded.py:27 — one 1-cell halo
 of f[9] + vel[2] + flags[1] = 12 f32 planes, O(surface)):
@@ -59,17 +60,22 @@ def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT):
     return sum(t / bw for t in transfers) + n_phases * lat
 
 
-def model(per_chip=(2048, 2048), single_chip_mlups=7300.0,
-          shard_overhead=1.0, meshes=((1, 1), (1, 2), (2, 2), (2, 4),
-                                      (4, 4), (4, 8), (8, 8), (8, 16))):
+def model(per_chip=(2048, 2048), row_mesh_mlups=5500.0,
+          mesh_2d_mlups=3000.0, meshes=((1, 1), (2, 1), (4, 1), (8, 1),
+                                        (16, 1), (2, 2), (2, 4), (4, 4),
+                                        (4, 8), (8, 8), (8, 16))):
     """Weak scaling: every chip keeps `per_chip` cells; the domain grows
-    with the mesh. `shard_overhead` is the measured 1x1-mesh shard_map
-    slowdown factor of the per-shard kernel (1.0 = none)."""
+    with the mesh. The per-shard compute rate is MEASURED on the real
+    chip (sharded_1x1_overhead.json): ``row_mesh_mlups`` for 1-wide
+    (ny, 1) meshes — the natural decomposition for the channel scene,
+    where the x_whole lean kernels run — and ``mesh_2d_mlups`` for 2D
+    meshes (generic lane-patched lean kernels)."""
     h, w = per_chip
     cells = h * w
-    t_comp = cells / (single_chip_mlups * 1e6) * shard_overhead
     rows = []
     for ny, nx in meshes:
+        rate = row_mesh_mlups if nx == 1 else mesh_2d_mlups
+        t_comp = cells / (rate * 1e6)
         t_comm = halo_time_s(h, w, ny, nx)
         t_step = t_comp + t_comm
         chips = ny * nx
@@ -89,7 +95,12 @@ def model(per_chip=(2048, 2048), single_chip_mlups=7300.0,
 def main():
     bench = {}
     bench_path = os.path.join(ROOT, "BENCH_r02.json")
-    for cand in ("BENCH_r03.json", "BENCH_r02.json"):
+    for cand in (
+        "BENCH_r04.json",
+        "BENCH_r03.json",
+        os.path.join("validation", "results", "bench_current.json"),
+        "BENCH_r02.json",
+    ):
         p = os.path.join(ROOT, cand)
         if os.path.exists(p):
             with open(p) as fo:
@@ -99,29 +110,42 @@ def main():
     rate = float(bench.get("parsed", bench).get("value", 7300.0))
 
     overhead_path = os.path.join(RESULTS, "sharded_1x1_overhead.json")
-    overhead = 1.0
-    overhead_src = "assumed 1.0 (no measurement)"
+    row_rate, rate_2d = 5500.0, 3000.0
+    overhead = None
+    overhead_src = "assumed (no measurement)"
     if os.path.exists(overhead_path):
         with open(overhead_path) as fo:
             ov = json.load(fo)
-        overhead = float(ov["unsharded_mlups"]) / float(ov["sharded_mlups"])
+        row_rate = float(ov["sharded_mlups"])
+        rate_2d = float(ov.get("sharded_generic_x_mlups", rate_2d))
+        overhead = float(ov["unsharded_mlups"]) / row_rate
         overhead_src = "sharded_1x1_overhead.json (measured on the real chip)"
 
     out = {
-        "model": "t_step = t_kernel * overhead_1x1 + max-link halo bytes / ICI_BW + latency; zero overlap assumed",
+        "model": "t_step = cells / measured_per_shard_rate + max-link halo bytes / ICI_BW + latency; zero overlap assumed",
         "constants": {"ici_bw_Bps": ICI_BW, "ici_lat_s": ICI_LAT,
                       "halo_planes": PLANES, "dcn_bw_Bps": DCN_BW},
         "inputs": {
-            "single_chip_mlups": rate, "bench_source": bench_path,
-            "shard_overhead_1x1": round(overhead, 3),
-            "overhead_source": overhead_src,
+            "single_chip_unsharded_mlups": rate,
+            "bench_source": bench_path,
+            "per_shard_row_mesh_mlups": row_rate,
+            "per_shard_2d_mesh_mlups": rate_2d,
+            "shard_overhead_1x1_vs_unsharded_k1": (
+                round(overhead, 3) if overhead else None),
+            "rate_source": overhead_src,
+            "note": (
+                "per-shard rates are k=1 (one step per kernel pass); the "
+                "unsharded bench number uses k=4 temporal blocking — "
+                "extending k-step blocking to the sharded path (k-deep "
+                "halos) is untapped headroom"
+            ),
         },
         "weak_scaling_2048sq_per_chip": model(
-            per_chip=(2048, 2048), single_chip_mlups=rate,
-            shard_overhead=overhead),
+            per_chip=(2048, 2048), row_mesh_mlups=row_rate,
+            mesh_2d_mlups=rate_2d),
         "weak_scaling_1024sq_per_chip": model(
-            per_chip=(1024, 1024), single_chip_mlups=rate,
-            shard_overhead=overhead),
+            per_chip=(1024, 1024), row_mesh_mlups=row_rate,
+            mesh_2d_mlups=rate_2d),
         "multi_host_note": (
             "across hosts the same halos ride DCN at ~3.1e9 B/s per "
             "host: a 2048-wide shard edge is 98 KB -> 32 us, so "

@@ -56,15 +56,49 @@ def main():
 
     dev = jax.devices()[0]
     mesh = Mesh(np.asarray([dev]).reshape(1, 1), (AXIS_Y, AXIS_X))
+
+    # pre-split comparator: the full-boundary kernel on every row
+    # (lean_split=False keeps the round-2/3 behavior for the A/B)
+    full_run = fsh.make_sharded_fused_cylinder_runner(
+        cfg, mesh, tile_rows=64, lean_split=False
+    )
+    print("compiling sharded (full-boundary)...", flush=True)
+    _ = full_run(state, fields, 1)
+    float(jnp.sum(_["rho"]))
+    t_fb = timeit(full_run, state, fields, steps)
+    mlups_fb = cells * steps / t_fb / 1e6
+    print(json.dumps({"path": "sharded-1x1-tiled64-full-boundary",
+                      "us_per_step": t_fb / steps * 1e6,
+                      "mlups": round(mlups_fb, 1)}), flush=True)
+
+    # shipping sharded path: lean interior sweep + cond-gated band-fix
+    # windows (auto-selected; tile_rows sets the lean tile height). On a
+    # 1-wide mesh (incl. this 1x1) the x_whole variant runs: no
+    # cross-shard x columns at all.
     sh_run = fsh.make_sharded_fused_cylinder_runner(cfg, mesh, tile_rows=64)
-    print("compiling sharded...", flush=True)
+    print("compiling sharded (lean split)...", flush=True)
     _ = sh_run(state, fields, 1)
     float(jnp.sum(_["rho"]))
     t_sh = timeit(sh_run, state, fields, steps)
     mlups_sh = cells * steps / t_sh / 1e6
-    print(json.dumps({"path": "sharded-1x1-tiled64",
+    print(json.dumps({"path": "sharded-1x1-lean-split-tiled64",
                       "us_per_step": t_sh / steps * 1e6,
                       "mlups": round(mlups_sh, 1)}), flush=True)
+
+    # generic (2D-mesh) lean variant forced on the same 1x1 mesh: x
+    # pulls patch shard-edge lanes from cross-shard halo columns — the
+    # representative per-shard rate for nx > 1 meshes
+    gen_run = fsh.make_sharded_fused_cylinder_runner(
+        cfg, mesh, tile_rows=64, lean_x_whole=False
+    )
+    print("compiling sharded (lean split, generic x)...", flush=True)
+    _ = gen_run(state, fields, 1)
+    float(jnp.sum(_["rho"]))
+    t_gen = timeit(gen_run, state, fields, steps)
+    mlups_gen = cells * steps / t_gen / 1e6
+    print(json.dumps({"path": "sharded-1x1-lean-split-generic-x",
+                      "us_per_step": t_gen / steps * 1e6,
+                      "mlups": round(mlups_gen, 1)}), flush=True)
 
     step1 = fs.make_fused_step(cfg, write_macro=True)
 
@@ -84,6 +118,10 @@ def main():
     ratio = t_sh / t_un
     out = {
         "sharded_mlups": round(mlups_sh, 1),
+        "sharded_path": "lean-split tiled64, x_whole (shipping default "
+                        "on 1-wide meshes)",
+        "sharded_generic_x_mlups": round(mlups_gen, 1),
+        "sharded_full_boundary_mlups": round(mlups_fb, 1),
         "unsharded_mlups": round(mlups_un, 1),
         "overhead_ratio": round(ratio, 3),
         "within_15pct": bool(ratio <= 1.15),
