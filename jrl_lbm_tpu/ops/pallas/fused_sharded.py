@@ -355,13 +355,14 @@ def _padded_block_step(off, flagsp, fp, velp, rho, phi, h, w, H, W, tau,
 MAX_SINGLE_TILE_CELLS = 600_000
 
 
-def _halo_pieces(x, ay: str, ax: str, cols: bool = True):
+def _halo_pieces(x, ay: str, ax: str, cols: bool = True, rows: int = 1):
     """Cross-shard halo pieces of a ``(..., h, w)`` block WITHOUT building
     the ``(h+2, w+2)`` padded copy: returns ``(top, bot, lcol, rcol)``
-    where top/bot are the 1-row y halos ``(..., 1, w)`` and lcol/rcol are
-    ``(..., h+2, 1)`` x-halo columns of the row-EXTENDED block, so the
-    four diagonal corner cells ride in the columns (same two-phase trick
-    as `parallel.halo.pad_halo`). Only O(surface) bytes are copied; the
+    where top/bot are the ``rows``-row y halos ``(..., rows, w)`` (rows
+    > 1 feed k-step temporal blocking) and lcol/rcol are ``(..., h+2,
+    1)`` x-halo columns of the 1-row-EXTENDED block, so the four
+    diagonal corner cells ride in the columns (same two-phase trick as
+    `parallel.halo.pad_halo`). Only O(surface) bytes are copied; the
     body array feeds the kernel directly through BlockSpecs.
 
     ``cols=False`` (full-width shards, nx == 1) skips the columns
@@ -374,15 +375,15 @@ def _halo_pieces(x, ay: str, ax: str, cols: bool = True):
 
     ny = jax.lax.axis_size(ay)
     nx = jax.lax.axis_size(ax)
-    top = jax.lax.ppermute(x[..., -1:, :], ay, _ring_perm(ny, 1))
-    bot = jax.lax.ppermute(x[..., :1, :], ay, _ring_perm(ny, -1))
+    top = jax.lax.ppermute(x[..., -rows:, :], ay, _ring_perm(ny, 1))
+    bot = jax.lax.ppermute(x[..., :rows, :], ay, _ring_perm(ny, -1))
     if not cols:
         return top, bot, None, None
     colR = jnp.concatenate(
-        [top[..., :, -1:], x[..., :, -1:], bot[..., :, -1:]], axis=-2
+        [top[..., -1:, -1:], x[..., :, -1:], bot[..., :1, -1:]], axis=-2
     )
     colL = jnp.concatenate(
-        [top[..., :, :1], x[..., :, :1], bot[..., :, :1]], axis=-2
+        [top[..., -1:, :1], x[..., :, :1], bot[..., :1, :1]], axis=-2
     )
     lcol = jax.lax.ppermute(colR, ax, _ring_perm(nx, 1))
     rcol = jax.lax.ppermute(colL, ax, _ring_perm(nx, -1))
@@ -631,15 +632,21 @@ def _lean_block_update(wins, lcws, rcws, row0, col0, rows, w, H, W, A,
 @partial(jax.jit, static_argnames=("th", "h", "w", "H", "W",
                                    "wall_density", "inflow_density",
                                    "inflow_vx", "inflow_vy", "minv_s_m",
-                                   "x_whole", "interpret"))
+                                   "k", "x_whole", "interpret"))
 def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
                      wall_density, inflow_density, inflow_vx, inflow_vy,
-                     minv_s_m, x_whole, interpret):
+                     minv_s_m, k, x_whole, interpret):
     """Row-tiled lean pass over the whole shard (incl. the y-border
-    INFLOW/OUTFLOW rules as row-masked selects). Cylinder-band rows come
-    out wrong and are rewritten by `_apply_window_fix`. ``x_whole``
-    (static) marks shards spanning the full global width (nx == 1
-    meshes): x pulls then need no cross-shard columns at all."""
+    INFLOW/OUTFLOW rules as row-masked selects), advancing ``k`` lattice
+    steps per call (overlapped temporal blocking as
+    `fused_step._make_interior_kernel2`: level lvl = k-1..0 computes
+    th+2*lvl rows, each level's output is the next level's padded input;
+    k > 1 needs full-width shards). Cylinder-band rows come out wrong
+    and are rewritten by `_apply_window_fix`. ``x_whole`` (static) marks
+    shards spanning the full global width (nx == 1 meshes): x pulls then
+    need no cross-shard columns at all."""
+    assert x_whole or k == 1, "k-step lean needs full-width shards"
+    assert 1 <= k <= 8  # halo rows ride in 8-row neighbour groups
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
     f32 = jnp.float32
@@ -658,17 +665,20 @@ def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
         last = i == n_t - 1
 
         def win(q):
-            above = jnp.where(first, top_ref[q, -1:, :], fu_ref[q][-1:, :])
-            below = jnp.where(last, bot_ref[q, 0:1, :], fd_ref[q][0:1, :])
+            above = jnp.where(first, top_ref[q, -k:, :], fu_ref[q][-k:, :])
+            below = jnp.where(last, bot_ref[q, :k, :], fd_ref[q][:k, :])
             return jnp.concatenate([above, f_ref[q], below], axis=0)
 
-        wins = [win(q) for q in range(9)]
+        wins = [win(q) for q in range(9)]  # (th + 2k, w)
         lcws = None if x_whole else [lw_ref[0, q] for q in range(9)]
         rcws = None if x_whole else [rw_ref[0, q] for q in range(9)]
-        fs, rho_n, u_x, u_y = _lean_block_update(
-            wins, lcws, rcws, off_ref[0] + i * th, off_ref[1], th, w, H, W,
-            A, wall_density, FEQ_IN, x_whole,
-        )
+        for lvl in range(k - 1, -1, -1):
+            rows = th + 2 * lvl
+            fs, rho_n, u_x, u_y = _lean_block_update(
+                wins, lcws, rcws, off_ref[0] + i * th - lvl, off_ref[1],
+                rows, w, H, W, A, wall_density, FEQ_IN, x_whole,
+            )
+            wins = fs  # (rows, w) == the next level's (rows-2)+2 window
         for q in range(9):
             f_out[q] = fs[q]
         rho_out[:] = rho_n
@@ -717,48 +727,71 @@ def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
 
 @partial(jax.jit, static_argnames=("nb", "w", "H", "W", "tau",
                                    "inflow_density", "inflow_vx",
-                                   "inflow_vy", "minv_s_m", "x_whole",
-                                   "interpret"))
-def _window_full_step(woff, st, lcw, rcw, rho, phi, nb, w, H, W, tau,
+                                   "inflow_vy", "minv_s_m", "k",
+                                   "x_whole", "interpret"))
+def _window_full_step(woff, st, lcw, rcw, nb, w, H, W, tau,
                       inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                      x_whole, interpret):
-    """Full `_block_update` on an (nb, w) row window whose padded state
-    arrives pre-sliced: ``st`` stacks 12 (nb+2, w) planes (flags-as-f32,
-    f x9, vel x2), ``lcw/rcw`` the matching (nb+2, 1) cross-shard x-halo
-    columns (None when ``x_whole``: full-width shards use periodic lane
-    rolls instead), ``woff`` the window's global (row, col) offset."""
+                      k, x_whole, interpret):
+    """k chained full `_block_update` steps on an (nb, w) row window
+    whose padded state arrives pre-sliced: ``st`` stacks 14 (nb+2k, w)
+    planes (flags-as-f32, f x9, vel x2, phi, rho — rows [b0-k,
+    b0+nb+k)), ``lcw/rcw`` the matching (nb+2, 1) cross-shard x-halo
+    columns for planes 0..11 (k == 1 only; None when ``x_whole``:
+    full-width shards use periodic lane rolls instead), ``woff`` the
+    window's global (row, col) offset. Sub-step level ``lvl`` (k-1 .. 0)
+    computes rows [b0-lvl, b0+nb+lvl): each level's output is exactly
+    the next level's padded input window — same overlapped temporal
+    blocking as `fused_step._make_interior_kernel2`, with the FULL
+    boundary update per sub-step."""
+    assert x_whole or k == 1, "k-step windows need full-width shards"
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
     f32 = jnp.float32
 
     def kernel(off_ref, st_ref, *rest):
         if x_whole:
-            rho_ref, phi_ref, f_out, rho_out, vel_out = rest
-
-            def rp(plane):
-                return _WrapPlane(st_ref[plane], nb, w)
-
+            f_out, rho_out, vel_out = rest
+            lw_ref = rw_ref = None
         else:
-            lw_ref, rw_ref, rho_ref, phi_ref, f_out, rho_out, vel_out = rest
+            lw_ref, rw_ref, f_out, rho_out, vel_out = rest
 
-            def rp(plane):
-                return _RollPlane(st_ref[plane], lw_ref[plane],
-                                  rw_ref[plane], nb, w)
+        fwin = vwin = rwin = None
+        for lvl in range(k - 1, -1, -1):
+            rows = nb + 2 * lvl
+            s = k - lvl - 1  # window start index inside the st planes
 
-        fs, rho_n, u_x, u_y = _block_update(
-            rp(0), [rp(1 + q) for q in range(9)], [rp(10), rp(11)],
-            rho_ref[:], phi_ref[:], nb, w, H, W,
-            off_ref[0], off_ref[1],
-            A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
-        )
+            def wp(arr, plane, _rows=rows):
+                if x_whole:
+                    return _WrapPlane(arr, _rows, w)
+                return _RollPlane(arr, lw_ref[plane], rw_ref[plane],
+                                  _rows, w)
+
+            if fwin is None:  # first level reads the st planes
+                fP = [wp(st_ref[1 + q][s : s + rows + 2, :], 1 + q)
+                      for q in range(9)]
+                velP = [wp(st_ref[10 + c][s : s + rows + 2, :], 10 + c)
+                        for c in range(2)]
+                rho_prev = st_ref[13][s + 1 : s + 1 + rows, :]
+            else:  # previous level's (rows+2, w) outputs ARE the window
+                fP = [wp(fwin[q], 1 + q) for q in range(9)]
+                velP = [wp(vwin[c], 10 + c) for c in range(2)]
+                rho_prev = rwin[1:-1, :]
+            flagsP = wp(st_ref[0][s : s + rows + 2, :], 0)
+            phi_l = st_ref[12][s + 1 : s + 1 + rows, :]
+            fs, rho_n, u_x, u_y = _block_update(
+                flagsP, fP, velP, rho_prev, phi_l, rows, w, H, W,
+                off_ref[0] - lvl, off_ref[1],
+                A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
+            )
+            fwin, vwin, rwin = fs, [u_x, u_y], rho_n
         for q in range(9):
-            f_out[q] = fs[q]
-        rho_out[:] = rho_n
-        vel_out[0] = u_x
-        vel_out[1] = u_y
+            f_out[q] = fwin[q]
+        rho_out[:] = rwin
+        vel_out[0] = vwin[0]
+        vel_out[1] = vwin[1]
 
-    n_in = 3 if x_whole else 5
-    args = (woff, st, rho, phi) if x_whole else (woff, st, lcw, rcw, rho, phi)
+    n_in = 1 if x_whole else 3
+    args = (woff, st) if x_whole else (woff, st, lcw, rcw)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -777,35 +810,43 @@ def _window_full_step(woff, st, lcw, rcw, rho, phi, nb, w, H, W, tau,
 def _apply_window_fix(region, row0, col0, flags, f, vel, rho, phi,
                       top, bot, lcol, rcol, f1, rho1, vel1,
                       h, w, H, W, tau, inflow_density, inflow_vx,
-                      inflow_vy, minv_s_m, x_whole, interpret):
+                      inflow_vy, minv_s_m, k, x_whole, interpret):
     """Recompute this shard's intersection with the static global row
-    region ``[gr0, gr1)`` using the full kernel, writing the rows into
-    the lean outputs (f1, rho1, vel1). Gated by `lax.cond`: a shard that
-    does not intersect pays only the window slice copies."""
+    region ``[gr0, gr1)`` using k chained full steps, writing the rows
+    into the lean outputs (f1, rho1, vel1). Gated by `lax.cond`: a shard
+    that does not intersect pays only the window slice copies.
+
+    ``top/bot`` are the 14-plane k-row ppermute pieces (flags, f x9,
+    vel x2, phi, rho)."""
     gr0, gr1 = region
-    nb = gr1 - gr0  # static, 8-aligned, <= h - 8 (checked by caller)
+    nb = gr1 - gr0  # static, 8-aligned, <= h - 2k (checked by caller)
     f32 = jnp.float32
     pred = (row0 < gr1) & (row0 + h > gr0)
     b0 = jnp.clip(jnp.int32(gr0) - row0, 0, h - nb)
-    # (nb+2)-row windows of the pre-step state rows [b0-1, b0+nb+1);
+    ext = nb + 2 * k
+    # (nb+2k)-row windows of the pre-step state rows [b0-k, b0+nb+k);
     # the clamped slice start keeps the slice in-bounds, the two
-    # `where`s swap in the ppermute pieces for the virtual rows -1 / h
-    c = jnp.clip(b0 - 1, 0, h - (nb + 2))
-    wfl = jax.lax.dynamic_slice(flags, (c, 0), (nb + 2, w)).astype(f32)
-    wf = jax.lax.dynamic_slice(f, (0, c, 0), (9, nb + 2, w))
-    wv = jax.lax.dynamic_slice(vel, (0, c, 0), (2, nb + 2, w))
-    st = jnp.concatenate([wfl[None], wf, wv], axis=0)  # (12, nb+2, w)
+    # `where`s swap in the ppermute pieces for the virtual rows beyond
+    # the shard. b0 is 8-aligned and k <= 8, so the only possible shifts
+    # are exactly -k (b0 == 0) and +k (b0 + nb == h).
+    c = jnp.clip(b0 - k, 0, h - ext)
+    wfl = jax.lax.dynamic_slice(flags, (c, 0), (ext, w)).astype(f32)
+    wf = jax.lax.dynamic_slice(f, (0, c, 0), (9, ext, w))
+    wv = jax.lax.dynamic_slice(vel, (0, c, 0), (2, ext, w))
+    wphi = jax.lax.dynamic_slice(phi, (c, 0), (ext, w))
+    wrho = jax.lax.dynamic_slice(rho, (c, 0), (ext, w))
+    st = jnp.concatenate(
+        [wfl[None], wf, wv, wphi[None], wrho[None]], axis=0
+    )  # (14, nb+2k, w)
     st = jnp.where(b0 == 0,
-                   jnp.concatenate([top, st[:, :-1]], axis=1), st)
+                   jnp.concatenate([top, st[:, :-k]], axis=1), st)
     st = jnp.where(b0 + nb == h,
-                   jnp.concatenate([st[:, 1:], bot], axis=1), st)
+                   jnp.concatenate([st[:, k:], bot], axis=1), st)
     lcw = rcw = None
     if not x_whole:
         # lcol row 0 is global row -1, so offset b0 = rows [b0-1, b0+nb+1)
         lcw = jax.lax.dynamic_slice(lcol, (0, b0, 0), (12, nb + 2, 1))
         rcw = jax.lax.dynamic_slice(rcol, (0, b0, 0), (12, nb + 2, 1))
-    wrho = jax.lax.dynamic_slice(rho, (b0, 0), (nb, w))
-    wphi = jax.lax.dynamic_slice(phi, (b0, 0), (nb, w))
     cur = (
         jax.lax.dynamic_slice(f1, (0, b0, 0), (9, nb, w)),
         jax.lax.dynamic_slice(rho1, (b0, 0), (nb, w)),
@@ -815,8 +856,8 @@ def _apply_window_fix(region, row0, col0, flags, f, vel, rho, phi,
 
     def fix(_):
         return _window_full_step(
-            woff, st, lcw, rcw, wrho, wphi, nb, w, H, W, tau,
-            inflow_density, inflow_vx, inflow_vy, minv_s_m, x_whole,
+            woff, st, lcw, rcw, nb, w, H, W, tau,
+            inflow_density, inflow_vx, inflow_vy, minv_s_m, k, x_whole,
             interpret,
         )
 
@@ -859,13 +900,16 @@ def _pick_tile_rows(h, w):
 
 def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
                                      tile_rows=0, lean_split=None,
-                                     lean_x_whole=None):
+                                     lean_x_whole=None, lean_k=None):
     """Sharded fused step: `ppermute` halos + one Pallas call per shard.
 
     Same (state, fields) -> state contract as
     `parallel.sharded.make_sharded_cylinder_step`, with the entire
-    per-shard update fused into a single kernel. ``interpret=True`` runs
-    the kernel in interpret mode (for CPU-mesh equivalence tests).
+    per-shard update fused into a single kernel — except that the
+    returned step advances ``step.k`` lattice steps per call (k > 1 =
+    temporal blocking; use `make_sharded_fused_cylinder_runner` to
+    advance arbitrary step counts). ``interpret=True`` runs the kernel
+    in interpret mode (for CPU-mesh equivalence tests).
 
     ``tile_rows``: 0 (default) auto-selects — one whole-block kernel per
     shard while the padded block fits the VMEM budget, the row-tiled
@@ -877,6 +921,10 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
     specialization) when the shard geometry allows it; True forces it
     (raises if ineligible); False keeps the full-boundary kernel on
     every row (the pre-split behavior, kept for A/B and small shards).
+
+    ``lean_k``: lattice steps per pass on the lean-split path (temporal
+    blocking; k-row ppermute halos). Needs full-width (nx == 1) shards
+    for k > 1. None = 1.
     """
     from jrl_lbm_tpu.parallel.halo import pad_halo
     from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
@@ -887,18 +935,25 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
     assert H % ny == 0 and W % nx == 0, "grid must tile the mesh"
     h, w = H // ny, W // nx
     assert h >= 3 and w >= 3, "blocks must be at least 3 cells wide"
-    regions = _fix_regions(cfg)
+    lean_k = 1 if lean_k is None else int(lean_k)
+    assert 1 <= lean_k <= 8
+    # lean wrongness spreads (k-1) rows past the single-step band reach,
+    # so the fix region widens with k (margin 4 mirrors _band_tiles)
+    regions = _fix_regions(cfg, margin=4.0 + (lean_k - 1))
     lean_ok = (
         h % 8 == 0
         and w % 8 == 0
-        and max((hi - lo for lo, hi in regions), default=0) <= h - 8
+        and max((hi - lo for lo, hi in regions), default=0)
+        <= h - 2 * lean_k
+        and (nx == 1 or (lean_k == 1 and lean_x_whole is not True))
     )
     if lean_split is None:
         lean_split = lean_ok
     elif lean_split and not lean_ok:
         raise ValueError(
-            f"lean_split needs 8-aligned shards with h - 8 >= the largest "
-            f"band region; got h={h}, w={w}, regions={regions}"
+            f"lean_split needs 8-aligned shards with h - 2k >= the largest "
+            f"band region (and nx == 1 for k > 1); got h={h}, w={w}, "
+            f"k={lean_k}, regions={regions}"
         )
     if lean_split:
         lean_th = tile_rows if tile_rows else 64
@@ -921,19 +976,25 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
             f32 = jnp.float32
             x_whole = (nx == 1) if lean_x_whole is None else lean_x_whole
             assert not (x_whole and nx > 1), "x_whole needs full-width shards"
+            k = lean_k
             tf, bf, lf, rf = _halo_pieces(
-                flags.astype(f32)[None], AXIS_Y, AXIS_X, cols=not x_whole
+                flags.astype(f32)[None], AXIS_Y, AXIS_X,
+                cols=not x_whole, rows=k,
             )
             tF, bF, lF, rF = _halo_pieces(f, AXIS_Y, AXIS_X,
-                                          cols=not x_whole)
+                                          cols=not x_whole, rows=k)
             tv, bv, lv, rv = _halo_pieces(vel, AXIS_Y, AXIS_X,
-                                          cols=not x_whole)
-            top = jnp.concatenate([tf, tF, tv], axis=0)
-            bot = jnp.concatenate([bf, bF, bv], axis=0)
+                                          cols=not x_whole, rows=k)
+            tp, bp, _, _ = _halo_pieces(phi_obs[None], AXIS_Y, AXIS_X,
+                                        cols=False, rows=k)
+            tr, br, _, _ = _halo_pieces(rho[None], AXIS_Y, AXIS_X,
+                                        cols=False, rows=k)
+            top = jnp.concatenate([tf, tF, tv, tp, tr], axis=0)
+            bot = jnp.concatenate([bf, bF, bv, bp, br], axis=0)
             lcol = rcol = None
-            zero7 = jnp.zeros((9, 7, w), f32)
-            topf = jnp.concatenate([zero7, top[1:10]], axis=-2)
-            botf = jnp.concatenate([bot[1:10], zero7], axis=-2)
+            zerop = jnp.zeros((9, 8 - k, w), f32)
+            topf = jnp.concatenate([zerop, top[1:10]], axis=-2)
+            botf = jnp.concatenate([bot[1:10], zerop], axis=-2)
             lwinf = rwinf = None
             if not x_whole:
                 lcol = jnp.concatenate([lf, lF, lv], axis=0)
@@ -943,14 +1004,14 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
             f1, rho1, vel1 = _lean_tiled_step(
                 off, f, topf, botf, lwinf, rwinf, lean_th, h, w, H, W,
                 float(cfg.density), float(cfg.density), iv[0], iv[1],
-                minv_t, x_whole, interpret,
+                minv_t, k, x_whole, interpret,
             )
             for region in regions:
                 f1, rho1, vel1 = _apply_window_fix(
                     region, row0, col0, flags, f, vel, rho, phi_obs,
                     top, bot, lcol, rcol, f1, rho1, vel1,
                     h, w, H, W, float(cfg.tau), float(cfg.density),
-                    iv[0], iv[1], minv_t, x_whole, interpret,
+                    iv[0], iv[1], minv_t, k, x_whole, interpret,
                 )
             return f1, rho1, vel1
         if tile_rows is not None:
@@ -1000,21 +1061,32 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
         )
         return {"f": f, "rho": rho, "vel": vel}
 
+    step.k = lean_k if lean_split else 1
     return step
 
 
 def make_sharded_fused_cylinder_runner(cfg, mesh, interpret: bool = False,
                                        tile_rows=0, lean_split=None,
-                                       lean_x_whole=None):
-    step = make_sharded_fused_cylinder_step(cfg, mesh, interpret=interpret,
-                                            tile_rows=tile_rows,
-                                            lean_split=lean_split,
-                                            lean_x_whole=lean_x_whole)
-    jstep = jax.jit(step)
+                                       lean_x_whole=None, lean_k=None):
+    stepk = make_sharded_fused_cylinder_step(cfg, mesh, interpret=interpret,
+                                             tile_rows=tile_rows,
+                                             lean_split=lean_split,
+                                             lean_x_whole=lean_x_whole,
+                                             lean_k=lean_k)
+    jstepk = jax.jit(stepk)
+    jstep1 = jstepk
+    if stepk.k > 1:  # trailing sub-k remainder steps
+        jstep1 = jax.jit(make_sharded_fused_cylinder_step(
+            cfg, mesh, interpret=interpret, tile_rows=tile_rows,
+            lean_split=lean_split, lean_x_whole=lean_x_whole, lean_k=1))
 
     def run(state, fields, n: int):
-        for _ in range(n):
-            state = jstep(state, fields)
+        m = n
+        while m >= stepk.k:
+            state = jstepk(state, fields)
+            m -= stepk.k
+        for _ in range(m):
+            state = jstep1(state, fields)
         return state
 
     return run

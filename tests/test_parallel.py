@@ -316,20 +316,26 @@ def test_sharded_fused_tiled_cylinder_matches_unsharded():
 
 
 @pytest.mark.parametrize(
-    "mesh_shape,cy",
+    "mesh_shape,cy,k",
     [
         # cylinder interior to shard 0 (pred-true fix with interior b0;
         # shard 1 pred-false); generic lane-patched x variant
-        ((2, 4), 24.0),
+        ((2, 4), 24.0, 1),
         # same geometry on full-width shards: the x_whole lean variant
-        ((2, 1), 24.0),
+        ((2, 1), 24.0, 1),
         # cylinder band straddling the shard boundary: shard 0's window
         # clamps to b0+nb==h (bottom patch), shard 1's to b0==0 (top
         # patch) — both cross-shard window paths execute
-        ((2, 4), 48.0),
+        ((2, 4), 48.0, 1),
+        # k=2 temporal blocking (x_whole only): 2-row ppermute halos,
+        # chained lean levels, k-deep window chain; 7 steps = three
+        # k-passes + one trailing k=1 step through the runner cascade
+        ((2, 1), 24.0, 2),
+        # k=2 with the band straddling the shard boundary
+        ((2, 1), 48.0, 2),
     ],
 )
-def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy):
+def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy, k):
     """Lean-interior / band-fix sharded path == the single-device step.
 
     The grid is sized so the lean split is eligible (the cylinder band
@@ -345,17 +351,19 @@ def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy):
     )
     state, fields = cyl.init(cfg)
     _assert_coupling_mask_nonempty(fields)
-    regions = fsh._fix_regions(cfg)
-    assert regions == ([(16, 32)] if cy == 24.0 else [(40, 56)])
+    regions = fsh._fix_regions(cfg, margin=4.0 + (k - 1))
+    if k == 1:
+        assert regions == ([(16, 32)] if cy == 24.0 else [(40, 56)])
+    n_steps = 6 if k == 1 else 7
     run_ref = cyl.make_runner(cfg)
-    ref = jax.tree.map(np.asarray, run_ref(state, fields, 6))
+    ref = jax.tree.map(np.asarray, run_ref(state, fields, n_steps))
 
     mesh = make_mesh(mesh_shape, devices=jax.devices()[: ny * nx])
     sstate, sfields = shard_state(state, fields, mesh)
     run_sh = fsh.make_sharded_fused_cylinder_runner(
-        cfg, mesh, interpret=True, lean_split=True
+        cfg, mesh, interpret=True, lean_split=True, lean_k=k
     )
-    out = run_sh(sstate, sfields, 6)
+    out = run_sh(sstate, sfields, n_steps)
 
     flags = np.asarray(fields["flags"])
     fluid = flags != int(CellType.OBSTACLE)
