@@ -62,24 +62,25 @@ INFLOW_LAT = 40.5  # 45degree inflow height
 RG = 4.0
 # Two-region gate: far-field (theory stated <3%-accurate for the
 # embedded DISK; our 45-degree cone with capped tau_D tracks it within
-# ~5-12% there) and near-contact (L < 1.5: the cone's sidewall keeps
-# feeding the gap by diffusion, a geometry effect the disk theory cannot
-# represent — measured +0.06..+0.2 systematic, identical across all ten
-# Re, i.e. a geometry offset, not a transport bug). A broken convection
+# ~1% there — measured worst 0.0104 across the 20 records) and
+# near-contact (L < 1.5: the cone's sidewall keeps feeding the gap by
+# diffusion, a geometry effect the disk theory cannot represent —
+# measured <= 0.056, identical across all ten Re AND grid-converged to
+# <1% between refine 1 and refine 2, validation/run_refine_study.py,
+# i.e. a geometry offset, not a transport bug). A broken convection
 # rate / INFLOW head / frame interpolation breaks BOTH regions by far
-# more than these bands.
+# more than these bands. (Historical: with the index-based dump->L
+# mapping these read 0.068/0.203 — that was mapping drift, not physics.)
 REGIONS = [
-    {"L_range": (1.5, 4.0), "tol": 0.10},
-    {"L_range": (0.4, 1.5), "tol": 0.30},
+    {"L_range": (1.5, 4.0), "tol": 0.03},
+    {"L_range": (0.4, 1.5), "tol": 0.10},
 ]
 # Positive feedback: the theory current diverges ~pi/(4L) at contact and
-# the cone's thin-gap feeding differs qualitatively there, so the gated
-# near band stops at L = 0.7; below it the deviation (measured
-# 0.42-0.59, identical across all three Re) is reported as a diagnostic
-# only. Far field is tighter than NF (measured <= 0.066).
+# the cone's thin-gap feeding differs there; measured far <= 0.0078,
+# near (0.7 <= L <= 1.5) <= 0.080.
 REGIONS_POS = [
-    {"L_range": (1.5, 4.0), "tol": 0.10},
-    {"L_range": (0.7, 1.5), "tol": 0.35},
+    {"L_range": (1.5, 4.0), "tol": 0.03},
+    {"L_range": (0.7, 1.5), "tol": 0.12},
 ]
 L_RANGE = (0.4, 4.0)  # reported-deviation window (diagnostics)
 TOL = 0.15  # legacy single-window tolerance (kept for the JSON record)
@@ -132,11 +133,15 @@ def gate_case(path, theory_fn=nf_theory, regions=REGIONS):
     xs_um, cur = load_record(path)
     if len(cur) < 45:
         return None
-    # dump k sits at walks ~ INFLOW + (k+1) cells: distance to the top
-    # wall in radii. (The x column is traveled distance in um; dumps are
-    # 1 lattice cell apart by construction, `c_dump_steps`.)
+    # Tip position from the record's own x column (traveled distance in
+    # um; cell size = radius_real / radius_lat): dumps are NOMINALLY one
+    # lattice cell apart, but real records contain duplicate dumps and
+    # occasional multi-cell jumps — an index-based mapping (INFLOW + 1 +
+    # arange(n), used before) drifts by up to ~3.5 cells = 0.5 L by
+    # contact, which near-contact deviations are very sensitive to.
     n = len(cur)
-    walks = INFLOW_LAT + 1.0 + np.arange(n)
+    cell_um = 12.5 / RADIUS_LAT  # radius_obs_real = 12.5e-6 m
+    walks = INFLOW_LAT + xs_um / cell_um
     L = ((H_LAT - 1) - walks) / RADIUS_LAT
     # reference normalization: mean of the 10 dumps starting 30 dumps
     # from contact (flipped indexing), demo_plot_validation.py:59-62

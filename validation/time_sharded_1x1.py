@@ -85,6 +85,21 @@ def main():
                       "us_per_step": t_sh / steps * 1e6,
                       "mlups": round(mlups_sh, 1)}), flush=True)
 
+    # k-step temporal blocking on the lean path (row meshes only)
+    k_mlups = {}
+    for kk in (2, 4):
+        k_run = fsh.make_sharded_fused_cylinder_runner(
+            cfg, mesh, tile_rows=64, lean_k=kk
+        )
+        print(f"compiling sharded (lean split, k={kk})...", flush=True)
+        _ = k_run(state, fields, kk)
+        float(jnp.sum(_["rho"]))
+        t_k = timeit(k_run, state, fields, steps)
+        k_mlups[kk] = cells * steps / t_k / 1e6
+        print(json.dumps({"path": f"sharded-1x1-lean-split-k{kk}",
+                          "us_per_step": t_k / steps * 1e6,
+                          "mlups": round(k_mlups[kk], 1)}), flush=True)
+
     # generic (2D-mesh) lean variant forced on the same 1x1 mesh: x
     # pulls patch shard-edge lanes from cross-shard halo columns — the
     # representative per-shard rate for nx > 1 meshes
@@ -120,6 +135,8 @@ def main():
         "sharded_mlups": round(mlups_sh, 1),
         "sharded_path": "lean-split tiled64, x_whole (shipping default "
                         "on 1-wide meshes)",
+        "sharded_k2_mlups": round(k_mlups[2], 1),
+        "sharded_k4_mlups": round(k_mlups[4], 1),
         "sharded_generic_x_mlups": round(mlups_gen, 1),
         "sharded_full_boundary_mlups": round(mlups_fb, 1),
         "unsharded_mlups": round(mlups_un, 1),
