@@ -355,7 +355,52 @@ def _padded_block_step(off, flagsp, fp, velp, rho, phi, h, w, H, W, tau,
 MAX_SINGLE_TILE_CELLS = 600_000
 
 
-def _halo_pieces(x, ay: str, ax: str, cols: bool = True, rows: int = 1):
+@partial(jax.jit, static_argnames=("interpret",))
+def _edge_cols(x, interpret: bool = False):
+    """First and last columns of a ``(..., h, w)`` block as ``(..., h,
+    1)`` arrays, extracted by a Pallas kernel that reads ONLY the two
+    edge 128-lane groups. Slicing the column at the jnp level instead
+    makes XLA materialize a TRANSPOSED-layout copy of the whole array
+    (`f32[9,2048,2048]{1,2,0}` in the compiled HLO, ~490 us/step at
+    2048^2 — docs/PERFORMANCE.md #22c); the kernel touches O(h*128)
+    bytes per plane."""
+    shape = x.shape
+    h, w = shape[-2], shape[-1]
+    x3 = x.reshape(-1, h, w)
+    P = x3.shape[0]
+    lg = min(w, 128)
+    if w % lg:  # ragged width: tiny arrays only — plain slices are fine
+        return x[..., :, :1], x[..., :, -1:]
+    n_lg = w // lg
+    th = h
+    while th % 2 == 0 and th > 8 and P * th * lg * 8 > 8 * 1024 * 1024:
+        th //= 2
+    n_t = h // th
+
+    def kernel(xl_ref, xr_ref, l_out, r_out):
+        l_out[:] = xl_ref[:, :, 0:1]
+        r_out[:] = xr_ref[:, :, lg - 1 : lg]
+
+    cl, cr = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec((P, th, lg), lambda i: (0, i, 0)),
+            pl.BlockSpec((P, th, lg), lambda i: (0, i, n_lg - 1)),
+        ],
+        out_specs=[
+            pl.BlockSpec((P, th, 1), lambda i: (0, i, 0)),
+            pl.BlockSpec((P, th, 1), lambda i: (0, i, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((P, h, 1), x.dtype)] * 2,
+        interpret=interpret,
+    )(x3, x3)
+    out_shape = shape[:-1] + (1,)
+    return cl.reshape(out_shape), cr.reshape(out_shape)
+
+
+def _halo_pieces(x, ay: str, ax: str, cols: bool = True, rows: int = 1,
+                 interpret: bool = False):
     """Cross-shard halo pieces of a ``(..., h, w)`` block WITHOUT building
     the ``(h+2, w+2)`` padded copy: returns ``(top, bot, lcol, rcol)``
     where top/bot are the ``rows``-row y halos ``(..., rows, w)`` (rows
@@ -365,12 +410,14 @@ def _halo_pieces(x, ay: str, ax: str, cols: bool = True, rows: int = 1):
     `parallel.halo.pad_halo`). Only O(surface) bytes are copied; the
     body array feeds the kernel directly through BlockSpecs.
 
+    The edge columns are read with the `_edge_cols` Pallas kernel (a jnp
+    column slice materializes a transposed copy of the whole array), and
+    their corner cells come from ppermuting the columns' own end rows
+    along y — exactly the values ``top/bot[..., -1:/:1, -1:/:1]`` hold.
+
     ``cols=False`` (full-width shards, nx == 1) skips the columns
-    entirely: slicing a column out of the f-major layout makes XLA
-    materialize a transposed copy of the WHOLE array (~490 us/step at
-    2048^2, found in the compiled HLO), and on an nx==1 mesh the column
-    values are just the periodic wrap the kernels can reproduce with a
-    lane roll."""
+    entirely: on an nx==1 mesh the column values are just the periodic
+    wrap the kernels reproduce with a lane roll."""
     from jrl_lbm_tpu.parallel.halo import _ring_perm
 
     ny = jax.lax.axis_size(ay)
@@ -379,11 +426,15 @@ def _halo_pieces(x, ay: str, ax: str, cols: bool = True, rows: int = 1):
     bot = jax.lax.ppermute(x[..., :rows, :], ay, _ring_perm(ny, -1))
     if not cols:
         return top, bot, None, None
+    cl, cr = _edge_cols(x, interpret=interpret)
+    pdn, pup = _ring_perm(ny, 1), _ring_perm(ny, -1)
     colR = jnp.concatenate(
-        [top[..., -1:, -1:], x[..., :, -1:], bot[..., :1, -1:]], axis=-2
+        [jax.lax.ppermute(cr[..., -1:, :], ay, pdn), cr,
+         jax.lax.ppermute(cr[..., :1, :], ay, pup)], axis=-2
     )
     colL = jnp.concatenate(
-        [top[..., -1:, :1], x[..., :, :1], bot[..., :1, :1]], axis=-2
+        [jax.lax.ppermute(cl[..., -1:, :], ay, pdn), cl,
+         jax.lax.ppermute(cl[..., :1, :], ay, pup)], axis=-2
     )
     lcol = jax.lax.ppermute(colR, ax, _ring_perm(nx, 1))
     rcol = jax.lax.ppermute(colL, ax, _ring_perm(nx, -1))
@@ -979,12 +1030,14 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
             k = lean_k
             tf, bf, lf, rf = _halo_pieces(
                 flags.astype(f32)[None], AXIS_Y, AXIS_X,
-                cols=not x_whole, rows=k,
+                cols=not x_whole, rows=k, interpret=interpret,
             )
             tF, bF, lF, rF = _halo_pieces(f, AXIS_Y, AXIS_X,
-                                          cols=not x_whole, rows=k)
+                                          cols=not x_whole, rows=k,
+                                          interpret=interpret)
             tv, bv, lv, rv = _halo_pieces(vel, AXIS_Y, AXIS_X,
-                                          cols=not x_whole, rows=k)
+                                          cols=not x_whole, rows=k,
+                                          interpret=interpret)
             tp, bp, _, _ = _halo_pieces(phi_obs[None], AXIS_Y, AXIS_X,
                                         cols=False, rows=k)
             tr, br, _, _ = _halo_pieces(rho[None], AXIS_Y, AXIS_X,
@@ -1019,10 +1072,12 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
             # copied or padded (they BlockSpec straight into the kernel)
             f32 = jnp.float32
             tf, bf, lf, rf = _halo_pieces(
-                flags.astype(f32)[None], AXIS_Y, AXIS_X
+                flags.astype(f32)[None], AXIS_Y, AXIS_X, interpret=interpret
             )
-            tF, bF, lF, rF = _halo_pieces(f, AXIS_Y, AXIS_X)
-            tv, bv, lv, rv = _halo_pieces(vel, AXIS_Y, AXIS_X)
+            tF, bF, lF, rF = _halo_pieces(f, AXIS_Y, AXIS_X,
+                                          interpret=interpret)
+            tv, bv, lv, rv = _halo_pieces(vel, AXIS_Y, AXIS_X,
+                                          interpret=interpret)
             top = jnp.concatenate([tf, tF, tv], axis=0)
             bot = jnp.concatenate([bf, bF, bv], axis=0)
             lcol = jnp.concatenate([lf, lF, lv], axis=0)
