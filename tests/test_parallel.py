@@ -374,6 +374,21 @@ def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy, k):
         np.testing.assert_allclose(a[mask], b[mask], rtol=tol, atol=tol, err_msg=key)
 
 
+def test_edge_cols_matches_jnp_slice():
+    """`_edge_cols` (Pallas edge-lane-group read; avoids the
+    transposed-whole-array copy a jnp column slice costs on TPU) ==
+    plain column slices, across widths below/at/above one lane group
+    and leading-dim shapes."""
+    from jrl_lbm_tpu.ops.pallas.fused_sharded import _edge_cols
+
+    rng = np.random.default_rng(3)
+    for shape in [(9, 16, 32), (2, 24, 128), (1, 8, 256), (12, 64, 384)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        cl, cr = _edge_cols(x, interpret=True)
+        np.testing.assert_array_equal(np.asarray(cl), np.asarray(x[..., :1]))
+        np.testing.assert_array_equal(np.asarray(cr), np.asarray(x[..., -1:]))
+
+
 def test_pad_halo_corners_and_wrap():
     """Halo values = global periodic neighbours, including corners."""
     from jrl_lbm_tpu.parallel.halo import pad_halo
