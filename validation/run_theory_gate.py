@@ -54,6 +54,11 @@ SWEEP = os.path.join(ROOT, "validation", "sweep_out", "_45degree_g9",
                      "records")
 SWEEP_POS = os.path.join(ROOT, "validation", "sweep_out", "_45degree_g9",
                          "records_positive")
+# ethaline tip at refine 1 has the same lattice geometry as the
+# 45-degree water tip (radius 6.5, inflow height 40.5, H=128, Rg=4 —
+# models/jrl.py:74-86), so the identical NF gate applies to its records
+SWEEP_ETH = os.path.join(ROOT, "validation", "sweep_out", "_ethaline_g9",
+                         "records")
 RESULTS = os.path.join(ROOT, "validation", "results")
 
 RADIUS_LAT = 6.5  # lattice radius a (JRLCConfig.radius_obs at refine 1)
@@ -202,6 +207,11 @@ def main():
         if os.path.isdir(SWEEP_POS)
         else []
     )
+    eth_cases = (
+        gate_dir(SWEEP_ETH, nf_theory, REGIONS)
+        if os.path.isdir(SWEEP_ETH)
+        else []
+    )
     out = {
         "theory": "Cornut-Lefrou 2007 eq.17, insulating substrate, Rg=4",
         "tolerance": TOL,
@@ -221,9 +231,19 @@ def main():
             "n_total": len(pos_cases),
             "pass": bool(pos_cases) and all(c["pass"] for c in pos_cases),
         },
+        "ethaline": {
+            "theory": "Cornut-Lefrou 2007 eq.17 (same tip geometry at "
+                      "refine 1: radius 6.5, inflow 40.5, Rg=4)",
+            "regions": REGIONS,
+            "cases": eth_cases,
+            "n_pass": sum(c["pass"] for c in eth_cases),
+            "n_total": len(eth_cases),
+            "pass": bool(eth_cases) and all(c["pass"] for c in eth_cases),
+        },
         "pass": bool(cases)
         and all(c["pass"] for c in cases)
-        and (not pos_cases or all(c["pass"] for c in pos_cases)),
+        and (not pos_cases or all(c["pass"] for c in pos_cases))
+        and (not eth_cases or all(c["pass"] for c in eth_cases)),
     }
     os.makedirs(RESULTS, exist_ok=True)
     with open(os.path.join(RESULTS, "theory_gate.json"), "w") as fo:
@@ -237,9 +257,13 @@ def main():
 
 
 def _curve(path):
-    _, cur = load_record(path)
+    xs_um, cur = load_record(path)
     n = len(cur)
-    walks = INFLOW_LAT + 1.0 + np.arange(n)
+    # position from the record's own traveled-distance column — the same
+    # mapping gate_case uses (index-based walks drift by up to ~0.5 L
+    # near contact on records with duplicate dumps / multi-cell jumps)
+    cell_um = 12.5 / RADIUS_LAT
+    walks = INFLOW_LAT + xs_um / cell_um
     L = ((H_LAT - 1) - walks) / RADIUS_LAT
     idx_from_contact = (n - 1) - np.arange(n)
     norm_mask = (idx_from_contact >= 30) & (idx_from_contact < 40)
