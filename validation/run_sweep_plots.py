@@ -60,6 +60,14 @@ def main():
         demo_plot_Pe.main(fluid="water", is_negative=False)
         shutil.move(os.path.join(OUT, "plot_Pe.png"),
                     os.path.join(OUT, "plot_Pe_positive.png"))
+    # ethaline family (reference batch_Pe's second fluid): plot whatever
+    # grid records have landed — the driver is resumable and the plot
+    # regenerates as lower-Re cases complete
+    eth_dir = os.path.join(OUT, "_ethaline_g9", "records")
+    if os.path.isdir(eth_dir) and os.listdir(eth_dir):
+        demo_plot_Pe.main(fluid="ethaline", is_negative=True)
+        shutil.move(os.path.join(OUT, "plot_Pe.png"),
+                    os.path.join(OUT, "plot_Pe_ethaline.png"))
     demo_plot_Pe.main(fluid="water", is_negative=True)
     demo_plot_water.main(fluid="water", is_negative=True)
     # NOTE: no plot_ethaline here. The physical-Pe ethaline case
@@ -76,7 +84,7 @@ def main():
         print("[sweep_plots] <2 matched-Pe records; no similarity plot",
               flush=True)
     for png in ("plot_Pe.png", "plot_water.png", "plot_similarity.png",
-                "plot_Pe_positive.png"):
+                "plot_Pe_positive.png", "plot_Pe_ethaline.png"):
         src = os.path.join(OUT, png)
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(RESULTS, png))
