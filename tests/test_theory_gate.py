@@ -42,6 +42,16 @@ def test_pf_records_match_theory():
     assert not bad, f"PF records out of theory bands: {bad}"
 
 
+def test_ethaline_records_match_theory():
+    # count not pinned: the ethaline grid fills in incrementally (the
+    # low-Re fluid phases cost hours each; the driver is resumable)
+    _require_records(tg.SWEEP_ETH)
+    cases = tg.gate_dir(tg.SWEEP_ETH, tg.nf_theory, tg.REGIONS)
+    assert cases, "ethaline records dir present but no low-Pe records"
+    bad = [c["file"] for c in cases if not c["pass"]]
+    assert not bad, f"ethaline records out of theory bands: {bad}"
+
+
 def test_theory_expressions_limits():
     # Both expressions must normalize to 1 far from the substrate and
     # move the documented direction near contact.
