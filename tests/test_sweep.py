@@ -88,3 +88,44 @@ def test_write_sweep_records(tmp_path):
     lines = open(paths[0]).read().splitlines()
     assert lines[0] == "Step Inflow Current u, v"
     assert len(lines) == int(result.n_dumps[0]) + 1
+
+
+@pytest.mark.slow
+def test_batch_pe_vmapped_row(tmp_path, monkeypatch):
+    """End-to-end wiring of the vmapped lanes into the batch driver
+    (`demo/batch_Pe.py::run_re_vmapped`): one Re row = fluid phase +
+    one serial lane (seeds the shared balance h5) + the remaining Pe
+    lanes as one vmapped device program. Asserts every lane's record
+    file lands with the reference's column format and that re-running
+    the row is a no-op (skip-if-exists resumability)."""
+    import os
+    import sys
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    monkeypatch.setenv("JRL_DEMO_OUT", str(tmp_path))
+    monkeypatch.syspath_prepend(os.path.join(ROOT, "demo"))
+    import batch_Pe
+
+    Re = 4.0
+    vel_obs = Re * 0.89e-6 / 1.25e-5
+    Pes = [2.0, 5.0, 9.0]
+    n = batch_Pe.run_re_vmapped(
+        "water", "cylinder", (48, 32), Re, Pes, True, vel_obs,
+        progress=False, balance_time=5e-4, Rg=4, g_real=0.0)
+    assert n == 3
+
+    for Pe in Pes:
+        rec = batch_Pe.record_file(
+            "water", "cylinder", (48, 32), Re, Pe, True, g_real=0.0)
+        lines = open(rec).read().splitlines()
+        assert lines[0] == "Step Inflow Current u, v"
+        rows = np.loadtxt(lines[1:])
+        assert rows.shape[0] >= 20 and rows.shape[1] == 5
+        assert np.all(np.isfinite(rows))
+        # the approach current must be nonzero by the end of travel
+        assert abs(rows[-1, 2]) > 0 or abs(rows[-1, 1]) > 0
+
+    # resumable: all records exist, so the row reruns as a no-op
+    assert batch_Pe.run_re_vmapped(
+        "water", "cylinder", (48, 32), Re, Pes, True, vel_obs,
+        progress=False, balance_time=5e-4, Rg=4, g_real=0.0) == 0

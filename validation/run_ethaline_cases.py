@@ -11,10 +11,11 @@ instead would bake an under-converged tau_D=0.51 balance into every
 record (D_lat = 0.0035 needs ~4.6e6 steps to relax the 128-cell domain;
 the 600-s contract only provides ~1e6 there).
 
-The remaining 4 ethaline Res (1e-5 .. 1e-6) cost ~5 h of fluid phases
-alone (total_steps ~ 1/Re) and are left to a future round — the driver
-is resumable (skip_existing + the balance h5), so extending RES below
-and re-running completes them incrementally.
+The driver is resumable (skip_existing + the balance h5): pass the Re
+values to run as argv floats (`python run_ethaline_cases.py 1e-5 7e-6`)
+to complete the remaining reference Res incrementally. Fluid-phase cost
+scales as ~0.0145/Re seconds on the tunnel (total_steps ~ 1/Re):
+Re=1e-5 ~ 24 min, 7e-6 ~ 35 min, 3e-6 ~ 80 min, 1e-6 ~ 4 h.
 """
 
 import os
@@ -62,19 +63,23 @@ def run_case(Re, Pe, need_fluid=True):
           flush=True)
 
 
-def main():
+def main(res_list=None):
     t0 = time.time()
-    # seed: coarsest-dt grid case at tau_D = 1.0
-    run_case(RES[-1], PES[0])
-    for Re in RES:
+    res_list = res_list or RES
+    balance = os.path.join(OUT, "_ethaline_g9", "C_balance.h5")
+    if not os.path.exists(balance):
+        # seed: coarsest-dt grid case at tau_D = 1.0
+        run_case(RES[-1], PES[0])
+    for Re in res_list:
         for Pe in PES:
             run_case(Re, Pe)
-    # showcase cases: reference-demo default Pe and the physical Pe
-    run_case(1e-4, 0.01)
-    vel = 1e-4 * batch_Pe.viscs["ethaline"] / RADIUS
-    run_case(1e-4, vel * RADIUS / batch_Pe.Ds["ethaline"])
+    if res_list is RES:
+        # showcase cases: reference-demo default Pe and the physical Pe
+        run_case(1e-4, 0.01)
+        vel = 1e-4 * batch_Pe.viscs["ethaline"] / RADIUS
+        run_case(1e-4, vel * RADIUS / batch_Pe.Ds["ethaline"])
     print(f"[ethaline] total wall {time.time() - t0:.0f}s", flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    main([float(a) for a in sys.argv[1:]] or None)
