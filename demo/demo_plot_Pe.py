@@ -33,6 +33,7 @@ def main(fluid: str = "water", is_negative: bool = True):
 
     plt.figure()
     plt.title(f"fluid = {fluid}")
+    labeled = set()
     for i, Re in enumerate(Res):
         for j, Pe in enumerate(Pes):
             rec = find_record(dir_path, Re, Pe)
@@ -43,7 +44,8 @@ def main(fluid: str = "water", is_negative: bool = True):
             cur = np.flip(inflows[:-1])
             denom = np.mean(cur[p0 : p0 + norm_index])
             cur = cur / denom if denom != 0 else cur
-            if i == 0:
+            if j not in labeled:
+                labeled.add(j)
                 plt.plot(x, cur, "-", label="Pe={:.3f}".format(Pe),
                          linewidth=1, color=colors[j])
             else:

@@ -4,10 +4,12 @@
 plot_similarity.png under validation/sweep_out/, copied into
 validation/results/. Pure matplotlib over the record files — no TPU.
 
-The similarity overlay pairs the lowest and highest completed Re at a
-matched Pe (the paper's point is the collapse of approach curves onto a
-Pe-indexed master curve across Re; the reference's default pairing uses
-user-supplied water40 data we don't have).
+The similarity overlay pairs records from DIFFERENT fluids at a matched
+Pe (the paper's point is the collapse of approach curves onto a
+Pe-indexed master curve across fluids and Re; the reference's default
+pairing uses user-supplied water40 data we don't have, so we pair water
+vs ethaline — 46x viscosity, 36x diffusivity apart). Falls back to a
+water-only max-Re-separation pair while the ethaline grid is empty.
 """
 
 import os
@@ -28,15 +30,34 @@ import demo_plot_similarity
 from plot_utils import find_record
 
 RES = [1e-2, 7e-3, 5e-3, 3e-3, 1e-3, 7e-4, 5e-4, 3e-4, 1e-4, 7e-5]
+RES_ETH = [1e-4, 7e-5, 3e-5, 1e-5, 7e-6, 3e-6, 1e-6]
 PES = [1e-3, 3e-3, 7e-3, 1e-2, 3e-2, 7e-2, 1e-1]
 
 
 def pick_similarity_pair():
-    """Matched-Pe records at the most separated completed Re pair."""
-    rec_dir = os.path.join(OUT, "_45degree_g9", "records")
-    best = None
+    """Matched-Pe records from the most-separated completed conditions.
+
+    Preferred: cross-fluid (water vs ethaline) at the highest shared Pe,
+    taking the highest completed water Re and the lowest completed
+    ethaline Re — the widest physical separation the sweep offers
+    (reference pairing: demo_plot_similarity.py:19-26, cross-fluid by
+    design). Fallback: water-only max-Re-separation pair.
+    """
+    wat_dir = os.path.join(OUT, "_45degree_g9", "records")
+    eth_dir = os.path.join(OUT, "_ethaline_g9", "records")
     for pe in reversed(PES):  # prefer higher Pe (stronger convection)
-        have = [re for re in RES if find_record(rec_dir, re, pe)]
+        wat = [re for re in RES if find_record(wat_dir, re, pe)]
+        eth = [re for re in RES_ETH if find_record(eth_dir, re, pe)]
+        if wat and eth:
+            re_w, re_e = max(wat), min(eth)
+            recs = [os.path.relpath(find_record(wat_dir, re_w, pe), OUT),
+                    os.path.relpath(find_record(eth_dir, re_e, pe), OUT)]
+            labels = [f"water neg Re={re_w} Pe={pe}",
+                      f"ethaline neg Re={re_e} Pe={pe}"]
+            return recs, labels
+    best = None
+    for pe in reversed(PES):
+        have = [re for re in RES if find_record(wat_dir, re, pe)]
         if len(have) >= 2:
             sep = (max(have), min(have))
             if best is None or sep[0] / sep[1] > best[2]:
@@ -44,7 +65,7 @@ def pick_similarity_pair():
     if best is None:
         return None
     pe, (re_hi, re_lo), _ = best
-    recs = [os.path.relpath(find_record(rec_dir, re, pe), OUT)
+    recs = [os.path.relpath(find_record(wat_dir, re, pe), OUT)
             for re in (re_hi, re_lo)]
     labels = [f"water neg Re={re_hi} Pe={pe}", f"water neg Re={re_lo} Pe={pe}"]
     return recs, labels
