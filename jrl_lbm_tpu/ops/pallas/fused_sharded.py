@@ -372,8 +372,14 @@ def _edge_cols(x, interpret: bool = False):
     if w % lg:  # ragged width: tiny arrays only — plain slices are fine
         return x[..., :, :1], x[..., :, -1:]
     n_lg = w // lg
+    # VMEM per grid step: 2 input blocks + 2 output blocks (the
+    # last-dim-1 outputs are lane-padded to 128 in VMEM, so they cost
+    # as much as the inputs), each double-buffered by the pipeline ->
+    # 8 blocks of P*th*lg f32. Keep that under ~16 MB (the default
+    # scoped-VMEM limit is ~21 MB; a 2048-wide shard OOMed at the old
+    # inputs-only estimate).
     th = h
-    while th % 2 == 0 and th > 8 and P * th * lg * 8 > 8 * 1024 * 1024:
+    while th % 2 == 0 and th > 8 and P * th * lg * 4 * 8 > 16 * 1024 * 1024:
         th //= 2
     n_t = h // th
 

@@ -333,6 +333,11 @@ def test_sharded_fused_tiled_cylinder_matches_unsharded():
         ((2, 1), 24.0, 2),
         # k=2 with the band straddling the shard boundary
         ((2, 1), 48.0, 2),
+        # k=4 is NOT testable here: interpret-mode XLA CPU compile of
+        # the chained program is superlinear in k (measured 279 s at
+        # k=3, >600 s at k=4). The code is uniform in k; k=4 numerics
+        # are checked against the full-boundary sharded path on the
+        # real chip by validation/time_sharded_1x1.py.
     ],
 )
 def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy, k):

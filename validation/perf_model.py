@@ -44,11 +44,13 @@ PLANES = 12  # f[9] + vel[2] + flags (fused_sharded.py docstring)
 BYTES = 4
 
 
-def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT):
-    """Serial halo time for an (h, w) f32 shard on an (ny, nx) mesh."""
+def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT, k=1):
+    """Serial halo time for an (h, w) f32 shard on an (ny, nx) mesh.
+    ``k`` > 1 models k-step temporal blocking: one k-row-deep y halo
+    per k-step super-step (call once per super-step and divide by k)."""
     transfers = []
     if ny > 1:
-        transfers.append(PLANES * BYTES * w)
+        transfers.append(PLANES * BYTES * w * k)
     if nx > 1:
         transfers.append(PLANES * BYTES * (h + 2))
     if not transfers:
@@ -61,22 +63,28 @@ def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT):
 
 
 def model(per_chip=(2048, 2048), row_mesh_mlups=5500.0,
-          mesh_2d_mlups=3000.0, meshes=((1, 1), (2, 1), (4, 1), (8, 1),
-                                        (16, 1), (2, 2), (2, 4), (4, 4),
-                                        (4, 8), (8, 8), (8, 16))):
+          mesh_2d_mlups=3000.0, row_mesh_k=1,
+          meshes=((1, 1), (2, 1), (4, 1), (8, 1),
+                  (16, 1), (2, 2), (2, 4), (4, 4),
+                  (4, 8), (8, 8), (8, 16))):
     """Weak scaling: every chip keeps `per_chip` cells; the domain grows
     with the mesh. The per-shard compute rate is MEASURED on the real
     chip (sharded_1x1_overhead.json): ``row_mesh_mlups`` for 1-wide
     (ny, 1) meshes — the natural decomposition for the channel scene,
-    where the x_whole lean kernels run — and ``mesh_2d_mlups`` for 2D
-    meshes (generic lane-patched lean kernels)."""
+    where the x_whole lean kernels run with ``row_mesh_k``-step temporal
+    blocking (one k-row-deep halo exchange per k steps: same bytes per
+    step, 1/k of the latency) — and ``mesh_2d_mlups`` for 2D meshes
+    (generic lane-patched lean kernels, k=1)."""
     h, w = per_chip
     cells = h * w
     rows = []
     for ny, nx in meshes:
-        rate = row_mesh_mlups if nx == 1 else mesh_2d_mlups
+        if nx == 1:
+            rate, k = row_mesh_mlups, row_mesh_k
+        else:
+            rate, k = mesh_2d_mlups, 1
         t_comp = cells / (rate * 1e6)
-        t_comm = halo_time_s(h, w, ny, nx)
+        t_comm = halo_time_s(h, w, ny, nx, k=k) / k
         t_step = t_comp + t_comm
         chips = ny * nx
         rows.append({
@@ -110,15 +118,17 @@ def main():
     rate = float(bench.get("parsed", bench).get("value", 7300.0))
 
     overhead_path = os.path.join(RESULTS, "sharded_1x1_overhead.json")
-    row_rate, rate_2d = 5500.0, 3000.0
+    row_rate, rate_2d, row_k = 5500.0, 3000.0, 1
     overhead = None
     overhead_src = "assumed (no measurement)"
     if os.path.exists(overhead_path):
         with open(overhead_path) as fo:
             ov = json.load(fo)
         row_rate = float(ov["sharded_mlups"])
+        if "sharded_k4_mlups" in ov:  # k=4 temporal blocking, row meshes
+            row_rate, row_k = float(ov["sharded_k4_mlups"]), 4
         rate_2d = float(ov.get("sharded_generic_x_mlups", rate_2d))
-        overhead = float(ov["unsharded_mlups"]) / row_rate
+        overhead = float(ov["unsharded_mlups"]) / float(ov["sharded_mlups"])
         overhead_src = "sharded_1x1_overhead.json (measured on the real chip)"
 
     out = {
@@ -129,23 +139,26 @@ def main():
             "single_chip_unsharded_mlups": rate,
             "bench_source": bench_path,
             "per_shard_row_mesh_mlups": row_rate,
+            "per_shard_row_mesh_k": row_k,
             "per_shard_2d_mesh_mlups": rate_2d,
             "shard_overhead_1x1_vs_unsharded_k1": (
                 round(overhead, 3) if overhead else None),
             "rate_source": overhead_src,
             "note": (
-                "per-shard rates are k=1 (one step per kernel pass); the "
-                "unsharded bench number uses k=4 temporal blocking — "
-                "extending k-step blocking to the sharded path (k-deep "
-                "halos) is untapped headroom"
+                "row-mesh rate is the measured k=4 temporally-blocked "
+                "lean-split kernel (one k-row-deep halo per 4 steps, "
+                "bit-exact vs the k=1 path over 24 steps on the real "
+                "chip); the 2D-mesh rate is the k=1 generic lane-patched "
+                "kernel — extending k-blocking to 2D meshes is remaining "
+                "headroom"
             ),
         },
         "weak_scaling_2048sq_per_chip": model(
             per_chip=(2048, 2048), row_mesh_mlups=row_rate,
-            mesh_2d_mlups=rate_2d),
+            mesh_2d_mlups=rate_2d, row_mesh_k=row_k),
         "weak_scaling_1024sq_per_chip": model(
             per_chip=(1024, 1024), row_mesh_mlups=row_rate,
-            mesh_2d_mlups=rate_2d),
+            mesh_2d_mlups=rate_2d, row_mesh_k=row_k),
         "multi_host_note": (
             "across hosts the same halos ride DCN at ~3.1e9 B/s per "
             "host: a 2048-wide shard edge is 98 KB -> 32 us, so "

@@ -85,15 +85,35 @@ def main():
                       "us_per_step": t_sh / steps * 1e6,
                       "mlups": round(mlups_sh, 1)}), flush=True)
 
-    # k-step temporal blocking on the lean path (row meshes only)
+    # k-step temporal blocking on the lean path (row meshes only).
+    # Besides timing, check k-chain NUMERICS here: interpret-mode CPU
+    # compiles are superlinear in k (>600 s at k=4), so CI only covers
+    # k<=2 — this real-chip A/B vs the full-boundary path (itself
+    # CI-equivalence-tested against the unsharded step) is the k=4
+    # correctness evidence.
+    chk_steps = 24
+    ref_out = full_run(state, fields, chk_steps)
+    ref_np = {kk: np.asarray(v) for kk, v in ref_out.items()}
+    from jrl_lbm_tpu.utils.types import CellType
+
+    fluid = np.asarray(fields["flags"]) != int(CellType.OBSTACLE)
     k_mlups = {}
+    k_maxdev = {}
     for kk in (2, 4):
         k_run = fsh.make_sharded_fused_cylinder_runner(
             cfg, mesh, tile_rows=64, lean_k=kk
         )
         print(f"compiling sharded (lean split, k={kk})...", flush=True)
-        _ = k_run(state, fields, kk)
-        float(jnp.sum(_["rho"]))
+        out_k = k_run(state, fields, chk_steps)
+        dmax = 0.0
+        for key in ("f", "rho", "vel"):
+            a, b = np.asarray(out_k[key]), ref_np[key]
+            m = fluid if a.ndim == 2 else np.broadcast_to(fluid, a.shape)
+            dmax = max(dmax, float(np.max(np.abs(a[m] - b[m]))))
+        k_maxdev[kk] = dmax
+        print(json.dumps({"check": f"k{kk}-vs-full-boundary",
+                          "steps": chk_steps, "max_abs_dev": dmax}),
+              flush=True)
         t_k = timeit(k_run, state, fields, steps)
         k_mlups[kk] = cells * steps / t_k / 1e6
         print(json.dumps({"path": f"sharded-1x1-lean-split-k{kk}",
@@ -137,6 +157,9 @@ def main():
                         "on 1-wide meshes)",
         "sharded_k2_mlups": round(k_mlups[2], 1),
         "sharded_k4_mlups": round(k_mlups[4], 1),
+        "k_check_steps": chk_steps,
+        "k2_max_abs_dev_vs_full_boundary": k_maxdev[2],
+        "k4_max_abs_dev_vs_full_boundary": k_maxdev[4],
         "sharded_generic_x_mlups": round(mlups_gen, 1),
         "sharded_full_boundary_mlups": round(mlups_fb, 1),
         "unsharded_mlups": round(mlups_un, 1),
