@@ -405,6 +405,48 @@ def _edge_cols(x, interpret: bool = False):
     return cl.reshape(out_shape), cr.reshape(out_shape)
 
 
+@partial(jax.jit, static_argnames=("bw", "interpret"))
+def _edge_blocks(x, bw: int, interpret: bool = False):
+    """First and last ``bw`` lane columns of a ``(..., h, w)`` block as
+    ``(..., h, bw)`` arrays — the block-wide sibling of `_edge_cols`,
+    feeding the extended-window (``x_ext``) temporal-blocking path. For
+    the aligned production case (w a multiple of 128, bw <= 128) a
+    Pallas kernel reads ONLY the two edge lane groups; other shapes
+    (tests, tiny grids) fall back to plain slices, which are cheap when
+    unaligned anyway (the pathological transposed-copy case is the
+    width-1 slice of the FULL array, docs/PERFORMANCE.md #22c)."""
+    shape = x.shape
+    h, w = shape[-2], shape[-1]
+    if bw >= w:
+        return x, x
+    if bw > 128 or w % 128 or h % 8 or interpret:
+        return x[..., :, :bw], x[..., :, w - bw :]
+    x3 = x.reshape(-1, h, w)
+    P = x3.shape[0]
+    n_lg = w // 128
+    th = h
+    while th % 2 == 0 and th > 8 and P * th * 128 * 4 * 8 > 16 * 1024 * 1024:
+        th //= 2
+    n_t = h // th
+
+    def kernel(xl_ref, xr_ref, l_out, r_out):
+        l_out[:] = xl_ref[:, :, 0:bw]
+        r_out[:] = xr_ref[:, :, 128 - bw : 128]
+
+    bl, br = pl.pallas_call(
+        kernel,
+        grid=(n_t,),
+        in_specs=[
+            pl.BlockSpec((P, th, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((P, th, 128), lambda i: (0, i, n_lg - 1)),
+        ],
+        out_specs=[pl.BlockSpec((P, th, bw), lambda i: (0, i, 0))] * 2,
+        out_shape=[jax.ShapeDtypeStruct((P, h, bw), x.dtype)] * 2,
+    )(x3, x3)
+    out_shape = shape[:-1] + (bw,)
+    return bl.reshape(out_shape), br.reshape(out_shape)
+
+
 def _halo_pieces(x, ay: str, ax: str, cols: bool = True, rows: int = 1,
                  interpret: bool = False):
     """Cross-shard halo pieces of a ``(..., h, w)`` block WITHOUT building
@@ -603,7 +645,7 @@ def _tiled_block_step(off, flags, f, vel, rho, phi, top, bot, lcol, rcol,
 
 
 def _lean_block_update(wins, lcws, rcws, row0, col0, rows, w, H, W, A,
-                       wall_density, feq_in, x_whole):
+                       wall_density, feq_in, x_whole, x_ext=0):
     """Plain-channel update (OBSTACLE side walls at global x=0/W-1, the
     INFLOW plug row at global y=0, the OUTFLOW copy row at y=H-1, all
     other cells FLUID) on a (rows, w) tile — the sharded twin of
@@ -618,7 +660,21 @@ def _lean_block_update(wins, lcws, rcws, row0, col0, rows, w, H, W, A,
     the full global width, so x pulls are plain rolls). Each x pull
     costs ONE roll: the single wrong lane (shard edge) is patched from a
     column — the cross-shard halo column, or the reflect-clamp column
-    rows[:, 1] / rows[:, w-2] when this shard owns the global wall."""
+    rows[:, 1] / rows[:, w-2] when this shard owns the global wall.
+
+    ``x_ext`` > 0 selects the EXTENDED-WINDOW mode for k-step temporal
+    blocking on nx > 1 meshes: the window is ``x_ext`` extra lanes wide
+    on each side (filled by the caller with the x neighbours' edge
+    blocks via ppermute — the global periodic ring, so even the wall
+    shards' extensions hold the reference's wrap values), ``w`` is the
+    FULL extended width and ``col0`` the extension's global column. x
+    pulls are then plain periodic rolls; the global-wall clamp-reflect
+    (`propagation.cu:84-87`) is applied through the gx == 0 / W-1 masks
+    with the reflect value read at the STATIC lane the wall owner sees
+    it at (x_ext + 1 / w - x_ext - 2). The roll wrap corrupts at most
+    one extension-edge lane per temporal level, so after k <= x_ext
+    levels the central ``w - 2*x_ext`` lanes are exact; the caller
+    slices them out."""
     gx = col0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
     gy = row0 + jax.lax.broadcasted_iota(jnp.int32, (rows, w), 0)
     at_x0 = gx == 0
@@ -638,6 +694,17 @@ def _lean_block_update(wins, lcws, rcws, row0, col0, rows, w, H, W, A,
         if ex == 0:
             return yrows
         base = pltpu.roll(yrows, ex % w, axis=1)
+        if x_ext:
+            # extended window: the roll already carried real neighbour
+            # data across the shard edge; only the global-wall
+            # clamp-reflect remains, applied via the gx masks (the
+            # reflect value sits at a STATIC lane for the wall owner)
+            if ex == 1:
+                return jnp.where(at_x0, yrows[:, x_ext + 1 : x_ext + 2],
+                                 base)
+            return jnp.where(
+                at_xW, yrows[:, w - x_ext - 2 : w - x_ext - 1], base
+            )
         if ex == 1:  # lane 0 is wrong: wall col 0 reflect-clamps to
             # col 1, interior shard edges pull from the left shard
             refl = yrows[:, 1:2]
@@ -689,20 +756,28 @@ def _lean_block_update(wins, lcws, rcws, row0, col0, rows, w, H, W, A,
 @partial(jax.jit, static_argnames=("th", "h", "w", "H", "W",
                                    "wall_density", "inflow_density",
                                    "inflow_vx", "inflow_vy", "minv_s_m",
-                                   "k", "x_whole", "interpret"))
-def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
+                                   "k", "x_whole", "x_ext", "interpret"))
+def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, lext, rext,
+                     th, h, w, H, W,
                      wall_density, inflow_density, inflow_vx, inflow_vy,
-                     minv_s_m, k, x_whole, interpret):
+                     minv_s_m, k, x_whole, x_ext, interpret):
     """Row-tiled lean pass over the whole shard (incl. the y-border
     INFLOW/OUTFLOW rules as row-masked selects), advancing ``k`` lattice
     steps per call (overlapped temporal blocking as
     `fused_step._make_interior_kernel2`: level lvl = k-1..0 computes
     th+2*lvl rows, each level's output is the next level's padded input;
-    k > 1 needs full-width shards). Cylinder-band rows come out wrong
-    and are rewritten by `_apply_window_fix`. ``x_whole`` (static) marks
-    shards spanning the full global width (nx == 1 meshes): x pulls then
-    need no cross-shard columns at all."""
-    assert x_whole or k == 1, "k-step lean needs full-width shards"
+    k > 1 needs full-width shards OR the extended-window mode).
+    Cylinder-band rows come out wrong and are rewritten by
+    `_apply_window_fix`. ``x_whole`` (static) marks shards spanning the
+    full global width (nx == 1 meshes): x pulls then need no cross-shard
+    columns at all. ``x_ext`` > 0 (static) selects the extended-window
+    mode for k > 1 on nx > 1 meshes: each tile's planes are widened by
+    the per-tile ``lext/rext`` neighbour edge-block windows ((n_t, 9,
+    th+2k, x_ext)) and every temporal level computes the full extended
+    width; the central w lanes are exact after k <= x_ext levels and are
+    sliced into the outputs."""
+    assert x_whole or k == 1 or k <= x_ext, \
+        "k-step lean needs full-width shards or x_ext >= k"
     assert 1 <= k <= 8  # halo rows ride in 8-row neighbour groups
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
@@ -724,18 +799,32 @@ def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
         def win(q):
             above = jnp.where(first, top_ref[q, -k:, :], fu_ref[q][-k:, :])
             below = jnp.where(last, bot_ref[q, :k, :], fd_ref[q][:k, :])
-            return jnp.concatenate([above, f_ref[q], below], axis=0)
+            mid = jnp.concatenate([above, f_ref[q], below], axis=0)
+            if x_ext:
+                return jnp.concatenate(
+                    [lw_ref[0, q], mid, rw_ref[0, q]], axis=1
+                )
+            return mid
 
-        wins = [win(q) for q in range(9)]  # (th + 2k, w)
-        lcws = None if x_whole else [lw_ref[0, q] for q in range(9)]
-        rcws = None if x_whole else [rw_ref[0, q] for q in range(9)]
+        wins = [win(q) for q in range(9)]  # (th + 2k, w + 2*x_ext)
+        lcws = rcws = None
+        if not x_whole and not x_ext:
+            lcws = [lw_ref[0, q] for q in range(9)]
+            rcws = [rw_ref[0, q] for q in range(9)]
+        wf = w + 2 * x_ext
         for lvl in range(k - 1, -1, -1):
             rows = th + 2 * lvl
             fs, rho_n, u_x, u_y = _lean_block_update(
-                wins, lcws, rcws, off_ref[0] + i * th - lvl, off_ref[1],
-                rows, w, H, W, A, wall_density, FEQ_IN, x_whole,
+                wins, lcws, rcws, off_ref[0] + i * th - lvl,
+                off_ref[1] - x_ext,
+                rows, wf, H, W, A, wall_density, FEQ_IN, x_whole, x_ext,
             )
-            wins = fs  # (rows, w) == the next level's (rows-2)+2 window
+            wins = fs  # (rows, wf) == the next level's (rows-2)+2 window
+        if x_ext:
+            fs = [a[:, x_ext : x_ext + w] for a in fs]
+            rho_n = rho_n[:, x_ext : x_ext + w]
+            u_x = u_x[:, x_ext : x_ext + w]
+            u_y = u_y[:, x_ext : x_ext + w]
         for q in range(9):
             f_out[q] = fs[q]
         rho_out[:] = rho_n
@@ -757,7 +846,15 @@ def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
         pl.BlockSpec((9, 8, w), lambda i: (0, 0, 0)),  # ppermute bot
     ]
     args = [off, f, f, f, topf, botf]
-    if not x_whole:
+    if x_ext:
+        specs += [
+            pl.BlockSpec((1, 9, th + 2 * k, x_ext),
+                         lambda i: (i, 0, 0, 0)),  # left ext windows
+            pl.BlockSpec((1, 9, th + 2 * k, x_ext),
+                         lambda i: (i, 0, 0, 0)),  # right ext windows
+        ]
+        args += [lext, rext]
+    elif not x_whole:
         specs += [
             pl.BlockSpec((1, 9, th + 2, 1), lambda i: (i, 0, 0, 0)),  # lcol
             pl.BlockSpec((1, 9, th + 2, 1), lambda i: (i, 0, 0, 0)),  # rcol
@@ -785,28 +882,37 @@ def _lean_tiled_step(off, f, topf, botf, lwinf, rwinf, th, h, w, H, W,
 @partial(jax.jit, static_argnames=("nb", "w", "H", "W", "tau",
                                    "inflow_density", "inflow_vx",
                                    "inflow_vy", "minv_s_m", "k",
-                                   "x_whole", "interpret"))
+                                   "x_whole", "x_ext", "interpret"))
 def _window_full_step(woff, st, lcw, rcw, nb, w, H, W, tau,
                       inflow_density, inflow_vx, inflow_vy, minv_s_m,
-                      k, x_whole, interpret):
+                      k, x_whole, x_ext, interpret):
     """k chained full `_block_update` steps on an (nb, w) row window
-    whose padded state arrives pre-sliced: ``st`` stacks 14 (nb+2k, w)
-    planes (flags-as-f32, f x9, vel x2, phi, rho — rows [b0-k,
-    b0+nb+k)), ``lcw/rcw`` the matching (nb+2, 1) cross-shard x-halo
-    columns for planes 0..11 (k == 1 only; None when ``x_whole``:
-    full-width shards use periodic lane rolls instead), ``woff`` the
-    window's global (row, col) offset. Sub-step level ``lvl`` (k-1 .. 0)
-    computes rows [b0-lvl, b0+nb+lvl): each level's output is exactly
-    the next level's padded input window — same overlapped temporal
-    blocking as `fused_step._make_interior_kernel2`, with the FULL
-    boundary update per sub-step."""
-    assert x_whole or k == 1, "k-step windows need full-width shards"
+    whose padded state arrives pre-sliced: ``st`` stacks 14 planes
+    (flags-as-f32, f x9, vel x2, phi, rho — rows [b0-k, b0+nb+k)),
+    (nb+2k, w) each, or (nb+2k, w + 2*x_ext) in the extended-window
+    mode (``x_ext`` > 0: the caller pre-concatenates the neighbour edge
+    blocks at the jnp level — an in-kernel lane concat of slices at
+    differing sublane offsets has no Mosaic lowering — every level
+    computes the full extended width, and the central w lanes — exact
+    after k <= x_ext levels — are sliced into the outputs). ``lcw/rcw``
+    are the (nb+2, 1) cross-shard x-halo columns for planes 0..11
+    (non-ext nx > 1 mode, k == 1 only); None when ``x_whole``
+    (full-width shards use periodic lane rolls) or ``x_ext``. ``woff``
+    is the window's global (row, col) offset. Sub-step level ``lvl``
+    (k-1 .. 0) computes rows [b0-lvl, b0+nb+lvl): each level's output
+    is exactly the next level's padded input window — same overlapped
+    temporal blocking as `fused_step._make_interior_kernel2`, with the
+    FULL boundary update per sub-step."""
+    assert x_whole or k == 1 or k <= x_ext, \
+        "k-step windows need full-width shards or x_ext >= k"
     A = [[float(minv_s_m[a][b]) for b in range(9)] for a in range(9)]
     FEQ_IN = _feq_terms(inflow_density, inflow_vx, inflow_vy)
     f32 = jnp.float32
+    wf = w + 2 * x_ext
+    wrap = x_whole or x_ext > 0
 
     def kernel(off_ref, st_ref, *rest):
-        if x_whole:
+        if wrap:
             f_out, rho_out, vel_out = rest
             lw_ref = rw_ref = None
         else:
@@ -818,8 +924,8 @@ def _window_full_step(woff, st, lcw, rcw, nb, w, H, W, tau,
             s = k - lvl - 1  # window start index inside the st planes
 
             def wp(arr, plane, _rows=rows):
-                if x_whole:
-                    return _WrapPlane(arr, _rows, w)
+                if wrap:
+                    return _WrapPlane(arr, _rows, wf)
                 return _RollPlane(arr, lw_ref[plane], rw_ref[plane],
                                   _rows, w)
 
@@ -829,26 +935,30 @@ def _window_full_step(woff, st, lcw, rcw, nb, w, H, W, tau,
                 velP = [wp(st_ref[10 + c][s : s + rows + 2, :], 10 + c)
                         for c in range(2)]
                 rho_prev = st_ref[13][s + 1 : s + 1 + rows, :]
-            else:  # previous level's (rows+2, w) outputs ARE the window
+            else:  # previous level's (rows+2, wf) outputs ARE the window
                 fP = [wp(fwin[q], 1 + q) for q in range(9)]
                 velP = [wp(vwin[c], 10 + c) for c in range(2)]
                 rho_prev = rwin[1:-1, :]
             flagsP = wp(st_ref[0][s : s + rows + 2, :], 0)
             phi_l = st_ref[12][s + 1 : s + 1 + rows, :]
             fs, rho_n, u_x, u_y = _block_update(
-                flagsP, fP, velP, rho_prev, phi_l, rows, w, H, W,
-                off_ref[0] - lvl, off_ref[1],
+                flagsP, fP, velP, rho_prev, phi_l, rows, wf, H, W,
+                off_ref[0] - lvl, off_ref[1] - x_ext,
                 A, FEQ_IN, tau, inflow_density, inflow_vx, inflow_vy,
             )
             fwin, vwin, rwin = fs, [u_x, u_y], rho_n
+        if x_ext:
+            fwin = [a[:, x_ext : x_ext + w] for a in fwin]
+            rwin = rwin[:, x_ext : x_ext + w]
+            vwin = [a[:, x_ext : x_ext + w] for a in vwin]
         for q in range(9):
             f_out[q] = fwin[q]
         rho_out[:] = rwin
         vel_out[0] = vwin[0]
         vel_out[1] = vwin[1]
 
-    n_in = 1 if x_whole else 3
-    args = (woff, st) if x_whole else (woff, st, lcw, rcw)
+    n_in = 1 if wrap else 3
+    args = (woff, st) if wrap else (woff, st, lcw, rcw)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -865,16 +975,17 @@ def _window_full_step(woff, st, lcw, rcw, nb, w, H, W, tau,
 
 
 def _apply_window_fix(region, row0, col0, flags, f, vel, rho, phi,
-                      top, bot, lcol, rcol, f1, rho1, vel1,
+                      top, bot, lcol, rcol, lblk, rblk, f1, rho1, vel1,
                       h, w, H, W, tau, inflow_density, inflow_vx,
-                      inflow_vy, minv_s_m, k, x_whole, interpret):
+                      inflow_vy, minv_s_m, k, x_whole, x_ext, interpret):
     """Recompute this shard's intersection with the static global row
     region ``[gr0, gr1)`` using k chained full steps, writing the rows
     into the lean outputs (f1, rho1, vel1). Gated by `lax.cond`: a shard
     that does not intersect pays only the window slice copies.
 
     ``top/bot`` are the 14-plane k-row ppermute pieces (flags, f x9,
-    vel x2, phi, rho)."""
+    vel x2, phi, rho); ``lblk/rblk`` the y-EXTENDED 14-plane neighbour
+    edge blocks ((14, h+2k, x_ext), extended-window mode only)."""
     gr0, gr1 = region
     nb = gr1 - gr0  # static, 8-aligned, <= h - 2k (checked by caller)
     f32 = jnp.float32
@@ -895,12 +1006,26 @@ def _apply_window_fix(region, row0, col0, flags, f, vel, rho, phi,
     st = jnp.concatenate(
         [wfl[None], wf, wv, wphi[None], wrho[None]], axis=0
     )  # (14, nb+2k, w)
+    if x_ext:
+        # widen every plane with the neighbour edge-block windows HERE
+        # (an in-kernel lane concat of slices at differing sublane
+        # offsets has no Mosaic lowering). The y-extended blocks cover
+        # global rows [row0-k, row0+h+k): body row r = block row r + k,
+        # so body rows [c, c+ext) = block rows [c+k, c+k+ext), and the
+        # row-swap pieces (top/bot) widen with the blocks' own end rows.
+        lw = jax.lax.dynamic_slice(lblk, (0, c + k, 0), (14, ext, x_ext))
+        rw = jax.lax.dynamic_slice(rblk, (0, c + k, 0), (14, ext, x_ext))
+        st = jnp.concatenate([lw, st, rw], axis=-1)  # (14, ext, w+2*x_ext)
+        top = jnp.concatenate([lblk[:, :k, :], top, rblk[:, :k, :]],
+                              axis=-1)
+        bot = jnp.concatenate([lblk[:, -k:, :], bot, rblk[:, -k:, :]],
+                              axis=-1)
     st = jnp.where(b0 == 0,
                    jnp.concatenate([top, st[:, :-k]], axis=1), st)
     st = jnp.where(b0 + nb == h,
                    jnp.concatenate([st[:, k:], bot], axis=1), st)
     lcw = rcw = None
-    if not x_whole:
+    if not x_ext and not x_whole:
         # lcol row 0 is global row -1, so offset b0 = rows [b0-1, b0+nb+1)
         lcw = jax.lax.dynamic_slice(lcol, (0, b0, 0), (12, nb + 2, 1))
         rcw = jax.lax.dynamic_slice(rcol, (0, b0, 0), (12, nb + 2, 1))
@@ -915,7 +1040,7 @@ def _apply_window_fix(region, row0, col0, flags, f, vel, rho, phi,
         return _window_full_step(
             woff, st, lcw, rcw, nb, w, H, W, tau,
             inflow_density, inflow_vx, inflow_vy, minv_s_m, k, x_whole,
-            interpret,
+            x_ext, interpret,
         )
 
     fw, rw, vw = jax.lax.cond(pred, fix, lambda _: cur, None)
@@ -957,7 +1082,8 @@ def _pick_tile_rows(h, w):
 
 def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
                                      tile_rows=0, lean_split=None,
-                                     lean_x_whole=None, lean_k=None):
+                                     lean_x_whole=None, lean_k=None,
+                                     lean_x_ext=None, lean_x_halo=None):
     """Sharded fused step: `ppermute` halos + one Pallas call per shard.
 
     Same (state, fields) -> state contract as
@@ -980,8 +1106,28 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
     every row (the pre-split behavior, kept for A/B and small shards).
 
     ``lean_k``: lattice steps per pass on the lean-split path (temporal
-    blocking; k-row ppermute halos). Needs full-width (nx == 1) shards
-    for k > 1. None = 1.
+    blocking; k-row ppermute halos). k > 1 needs full-width (nx == 1)
+    shards OR the extended-window mode (below). None = 1.
+
+    ``lean_x_ext``: extension width (lanes per side) for the
+    EXTENDED-WINDOW temporal-blocking mode, which brings k > 1 to
+    nx > 1 (2D) meshes: each shard ppermutes its ``x_ext``-wide edge
+    blocks to its x neighbours, the lean/window kernels compute every
+    temporal level on width w + 2*x_ext, and the central w lanes —
+    exact after k <= x_ext levels — are sliced out. None = auto: 128
+    (one lane group, keeping every vector op aligned) when nx > 1 and
+    lean_k > 1, else 0 (off). Explicit values let tests use tiny widths
+    and let a 1x1 mesh force the mode for A/B timing (the ring ppermute
+    then wraps to the shard itself — the periodic values x_whole mode
+    reproduces with rolls).
+
+    ``lean_x_halo``: lanes actually TRANSFERRED per x neighbour in the
+    extended-window mode (must be >= lean_k; the received block is
+    zero-padded outward to ``x_ext`` lanes in VMEM, and the zero
+    garbage — like the roll wrap — contaminates < x_halo lanes over k
+    levels, never reaching the body). None = auto: min(x_ext, 8), which
+    cuts the modelled ICI bytes 16x vs shipping the full 128-lane
+    alignment block while k stays <= 8.
     """
     from jrl_lbm_tpu.parallel.halo import pad_halo
     from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
@@ -994,6 +1140,15 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
     assert h >= 3 and w >= 3, "blocks must be at least 3 cells wide"
     lean_k = 1 if lean_k is None else int(lean_k)
     assert 1 <= lean_k <= 8
+    if lean_x_ext is None:
+        x_ext = 128 if (nx > 1 and lean_k > 1) else 0
+    else:
+        x_ext = int(lean_x_ext)
+    assert not (x_ext and lean_x_whole), \
+        "extended-window mode and x_whole are mutually exclusive"
+    x_halo = (min(x_ext, 8) if lean_x_halo is None else int(lean_x_halo))
+    assert x_ext == 0 or lean_k <= x_halo <= x_ext, \
+        "need lean_k <= x_halo <= x_ext"
     # lean wrongness spreads (k-1) rows past the single-step band reach,
     # so the fix region widens with k (margin 4 mirrors _band_tiles)
     regions = _fix_regions(cfg, margin=4.0 + (lean_k - 1))
@@ -1002,15 +1157,19 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
         and w % 8 == 0
         and max((hi - lo for lo, hi in regions), default=0)
         <= h - 2 * lean_k
-        and (nx == 1 or (lean_k == 1 and lean_x_whole is not True))
+        and (
+            (x_ext == 0 and (nx == 1
+                             or (lean_k == 1 and lean_x_whole is not True)))
+            or (lean_k <= x_ext <= w)
+        )
     )
     if lean_split is None:
         lean_split = lean_ok
     elif lean_split and not lean_ok:
         raise ValueError(
             f"lean_split needs 8-aligned shards with h - 2k >= the largest "
-            f"band region (and nx == 1 for k > 1); got h={h}, w={w}, "
-            f"k={lean_k}, regions={regions}"
+            f"band region (and nx == 1 or k <= x_ext <= w for k > 1); got "
+            f"h={h}, w={w}, k={lean_k}, x_ext={x_ext}, regions={regions}"
         )
     if lean_split:
         lean_th = tile_rows if tile_rows else 64
@@ -1031,18 +1190,20 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
         off = jnp.stack([row0, col0]).astype(jnp.int32)
         if lean_split:
             f32 = jnp.float32
-            x_whole = (nx == 1) if lean_x_whole is None else lean_x_whole
+            x_whole = ((nx == 1 and x_ext == 0) if lean_x_whole is None
+                       else lean_x_whole)
             assert not (x_whole and nx > 1), "x_whole needs full-width shards"
             k = lean_k
+            cols = not x_whole and not x_ext
             tf, bf, lf, rf = _halo_pieces(
                 flags.astype(f32)[None], AXIS_Y, AXIS_X,
-                cols=not x_whole, rows=k, interpret=interpret,
+                cols=cols, rows=k, interpret=interpret,
             )
             tF, bF, lF, rF = _halo_pieces(f, AXIS_Y, AXIS_X,
-                                          cols=not x_whole, rows=k,
+                                          cols=cols, rows=k,
                                           interpret=interpret)
             tv, bv, lv, rv = _halo_pieces(vel, AXIS_Y, AXIS_X,
-                                          cols=not x_whole, rows=k,
+                                          cols=cols, rows=k,
                                           interpret=interpret)
             tp, bp, _, _ = _halo_pieces(phi_obs[None], AXIS_Y, AXIS_X,
                                         cols=False, rows=k)
@@ -1054,23 +1215,81 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
             zerop = jnp.zeros((9, 8 - k, w), f32)
             topf = jnp.concatenate([zerop, top[1:10]], axis=-2)
             botf = jnp.concatenate([bot[1:10], zerop], axis=-2)
-            lwinf = rwinf = None
-            if not x_whole:
+            lwinf = rwinf = lext = rext = lblk14 = rblk14 = None
+            if x_ext:
+                from jrl_lbm_tpu.parallel.halo import _ring_perm
+
+                pxl = _ring_perm(nx, 1)
+                pxr = _ring_perm(nx, -1)
+                pyd = _ring_perm(ny, 1)
+                pyu = _ring_perm(ny, -1)
+
+                def xblocks(x):
+                    """y-EXTENDED (..., h+2k, x_ext) neighbour edge
+                    blocks: x-ppermute the x_halo-wide edge lane blocks,
+                    y-ppermute their end rows (two-phase: diagonal
+                    corner data rides the second hop), then zero-pad
+                    outward to the x_ext alignment width (the zeros,
+                    like the roll wrap, stay >= x_halo - k lanes away
+                    from the body after k levels)."""
+                    xl, xr = _edge_blocks(x, x_halo, interpret=interpret)
+                    lb = jax.lax.ppermute(xr, AXIS_X, pxl)
+                    rb = jax.lax.ppermute(xl, AXIS_X, pxr)
+
+                    def yext(b):
+                        return jnp.concatenate(
+                            [jax.lax.ppermute(b[..., -k:, :], AXIS_Y, pyd),
+                             b,
+                             jax.lax.ppermute(b[..., :k, :], AXIS_Y, pyu)],
+                            axis=-2,
+                        )
+
+                    lb, rb = yext(lb), yext(rb)
+                    if x_halo < x_ext:
+                        z = jnp.zeros(
+                            lb.shape[:-1] + (x_ext - x_halo,), lb.dtype
+                        )
+                        # real data must sit adjacent to the body: last
+                        # lanes of the left block, first of the right
+                        lb = jnp.concatenate([z, lb], axis=-1)
+                        rb = jnp.concatenate([rb, z], axis=-1)
+                    return lb, rb
+
+                lbF, rbF = xblocks(f)
+                lbfl, rbfl = xblocks(flags.astype(f32)[None])
+                lbv, rbv = xblocks(vel)
+                lbp, rbp = xblocks(phi_obs[None])
+                lbr, rbr = xblocks(rho[None])
+                lblk14 = jnp.concatenate([lbfl, lbF, lbv, lbp, lbr], axis=0)
+                rblk14 = jnp.concatenate([rbfl, rbF, rbv, rbp, rbr], axis=0)
+                n_lt = h // lean_th
+                lext = jnp.stack(
+                    [jax.lax.slice_in_dim(lbF, i * lean_th,
+                                          i * lean_th + lean_th + 2 * k,
+                                          axis=-2)
+                     for i in range(n_lt)], axis=0)
+                rext = jnp.stack(
+                    [jax.lax.slice_in_dim(rbF, i * lean_th,
+                                          i * lean_th + lean_th + 2 * k,
+                                          axis=-2)
+                     for i in range(n_lt)], axis=0)
+            elif not x_whole:
                 lcol = jnp.concatenate([lf, lF, lv], axis=0)
                 rcol = jnp.concatenate([rf, rF, rv], axis=0)
                 lwinf = _col_windows(lcol[1:10], lean_th, h // lean_th)
                 rwinf = _col_windows(rcol[1:10], lean_th, h // lean_th)
             f1, rho1, vel1 = _lean_tiled_step(
-                off, f, topf, botf, lwinf, rwinf, lean_th, h, w, H, W,
+                off, f, topf, botf, lwinf, rwinf, lext, rext,
+                lean_th, h, w, H, W,
                 float(cfg.density), float(cfg.density), iv[0], iv[1],
-                minv_t, k, x_whole, interpret,
+                minv_t, k, x_whole, x_ext, interpret,
             )
             for region in regions:
                 f1, rho1, vel1 = _apply_window_fix(
                     region, row0, col0, flags, f, vel, rho, phi_obs,
-                    top, bot, lcol, rcol, f1, rho1, vel1,
+                    top, bot, lcol, rcol, lblk14, rblk14, f1, rho1, vel1,
                     h, w, H, W, float(cfg.tau), float(cfg.density),
-                    iv[0], iv[1], minv_t, k, x_whole, interpret,
+                    iv[0], iv[1], minv_t, k, x_whole, x_ext, interpret,
                 )
             return f1, rho1, vel1
         if tile_rows is not None:
@@ -1128,18 +1347,22 @@ def make_sharded_fused_cylinder_step(cfg, mesh, interpret: bool = False,
 
 def make_sharded_fused_cylinder_runner(cfg, mesh, interpret: bool = False,
                                        tile_rows=0, lean_split=None,
-                                       lean_x_whole=None, lean_k=None):
+                                       lean_x_whole=None, lean_k=None,
+                                       lean_x_ext=None, lean_x_halo=None):
     stepk = make_sharded_fused_cylinder_step(cfg, mesh, interpret=interpret,
                                              tile_rows=tile_rows,
                                              lean_split=lean_split,
                                              lean_x_whole=lean_x_whole,
-                                             lean_k=lean_k)
+                                             lean_k=lean_k,
+                                             lean_x_ext=lean_x_ext,
+                                             lean_x_halo=lean_x_halo)
     jstepk = jax.jit(stepk)
     jstep1 = jstepk
     if stepk.k > 1:  # trailing sub-k remainder steps
         jstep1 = jax.jit(make_sharded_fused_cylinder_step(
             cfg, mesh, interpret=interpret, tile_rows=tile_rows,
-            lean_split=lean_split, lean_x_whole=lean_x_whole, lean_k=1))
+            lean_split=lean_split, lean_x_whole=lean_x_whole, lean_k=1,
+            lean_x_ext=lean_x_ext, lean_x_halo=lean_x_halo))
 
     def run(state, fields, n: int):
         m = n

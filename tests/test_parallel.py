@@ -316,23 +316,38 @@ def test_sharded_fused_tiled_cylinder_matches_unsharded():
 
 
 @pytest.mark.parametrize(
-    "mesh_shape,cy,k",
+    "mesh_shape,cy,k,x_ext",
     [
         # cylinder interior to shard 0 (pred-true fix with interior b0;
         # shard 1 pred-false); generic lane-patched x variant
-        ((2, 4), 24.0, 1),
+        ((2, 4), 24.0, 1, 0),
         # same geometry on full-width shards: the x_whole lean variant
-        ((2, 1), 24.0, 1),
+        ((2, 1), 24.0, 1, 0),
         # cylinder band straddling the shard boundary: shard 0's window
         # clamps to b0+nb==h (bottom patch), shard 1's to b0==0 (top
         # patch) — both cross-shard window paths execute
-        ((2, 4), 48.0, 1),
+        ((2, 4), 48.0, 1, 0),
         # k=2 temporal blocking (x_whole only): 2-row ppermute halos,
         # chained lean levels, k-deep window chain; 7 steps = three
         # k-passes + one trailing k=1 step through the runner cascade
-        ((2, 1), 24.0, 2),
+        ((2, 1), 24.0, 2, 0),
         # k=2 with the band straddling the shard boundary
-        ((2, 1), 48.0, 2),
+        ((2, 1), 48.0, 2, 0),
+        # extended-window mode: k-step temporal blocking on a 2D (nx>1)
+        # mesh — x pulls ride the ppermuted neighbour edge blocks, every
+        # temporal level computes width w + 2*x_ext, the central lanes
+        # are sliced out (production uses x_ext=128 = one lane group;
+        # tests shrink it to keep interpret-mode compile bounded)
+        ((2, 4), 24.0, 2, 8),
+        # ... with the band straddling the shard-row boundary (the
+        # ext-block window fix executes on both row shards)
+        ((2, 4), 48.0, 2, 8),
+        # ext at k=1 (covers the ext window fix with no temporal chain)
+        ((2, 2), 24.0, 1, 8),
+        # x_halo < x_ext: only 8 lanes ride the ppermute, the received
+        # block is zero-padded outward to the 16-lane alignment width
+        # (production: 8 transferred vs 128 alignment)
+        ((2, 4), 48.0, 2, 16),
         # k=4 is NOT testable here: interpret-mode XLA CPU compile of
         # the chained program is superlinear in k (measured 279 s at
         # k=3, >600 s at k=4). The code is uniform in k; k=4 numerics
@@ -340,7 +355,7 @@ def test_sharded_fused_tiled_cylinder_matches_unsharded():
         # real chip by validation/time_sharded_1x1.py.
     ],
 )
-def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy, k):
+def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy, k, x_ext):
     """Lean-interior / band-fix sharded path == the single-device step.
 
     The grid is sized so the lean split is eligible (the cylinder band
@@ -366,7 +381,8 @@ def test_sharded_fused_lean_split_matches_unsharded(mesh_shape, cy, k):
     mesh = make_mesh(mesh_shape, devices=jax.devices()[: ny * nx])
     sstate, sfields = shard_state(state, fields, mesh)
     run_sh = fsh.make_sharded_fused_cylinder_runner(
-        cfg, mesh, interpret=True, lean_split=True, lean_k=k
+        cfg, mesh, interpret=True, lean_split=True, lean_k=k,
+        lean_x_ext=x_ext or None,
     )
     out = run_sh(sstate, sfields, n_steps)
 
@@ -392,6 +408,28 @@ def test_edge_cols_matches_jnp_slice():
         cl, cr = _edge_cols(x, interpret=True)
         np.testing.assert_array_equal(np.asarray(cl), np.asarray(x[..., :1]))
         np.testing.assert_array_equal(np.asarray(cr), np.asarray(x[..., -1:]))
+
+
+def test_edge_blocks_matches_jnp_slice():
+    """`_edge_blocks` (block-wide sibling of `_edge_cols`, feeding the
+    extended-window temporal-blocking path) == plain lane-block slices
+    across widths and block sizes, incl. the bw == w degenerate case."""
+    from jrl_lbm_tpu.ops.pallas.fused_sharded import _edge_blocks
+
+    rng = np.random.default_rng(7)
+    for shape, bw in [
+        ((9, 16, 32), 8),
+        ((2, 24, 128), 128),
+        ((1, 8, 256), 128),
+        ((12, 64, 384), 128),
+        ((9, 16, 32), 32),
+    ]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        bl, br = _edge_blocks(x, bw, interpret=True)
+        np.testing.assert_array_equal(np.asarray(bl), np.asarray(x[..., :bw]))
+        np.testing.assert_array_equal(
+            np.asarray(br), np.asarray(x[..., x.shape[-1] - bw :])
+        )
 
 
 def test_pad_halo_corners_and_wrap():

@@ -44,18 +44,20 @@ PLANES = 12  # f[9] + vel[2] + flags (fused_sharded.py docstring)
 BYTES = 4
 
 
-def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT, k=1):
+def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT, k=1, x_halo=1):
     """Serial halo time for an (h, w) f32 shard on an (ny, nx) mesh.
     ``k`` > 1 models k-step temporal blocking: one k-row-deep y halo
-    per k-step super-step (call once per super-step and divide by k)."""
+    (and, on 2D meshes, one ``x_halo``-lane-wide x edge block — the
+    extended-window transfer width, >= k) per k-step super-step (call
+    once per super-step and divide by k)."""
     transfers = []
     if ny > 1:
         transfers.append(PLANES * BYTES * w * k)
     if nx > 1:
-        transfers.append(PLANES * BYTES * (h + 2))
+        transfers.append(PLANES * BYTES * (h + 2 * k) * x_halo)
     if not transfers:
         return 0.0
-    # y and x phases are sequential (corner correctness: x columns are
+    # y and x phases are sequential (corner correctness: x pieces are
     # exchanged on the row-extended block), each phase's two directions
     # ride distinct links in parallel:
     n_phases = (ny > 1) + (nx > 1)
@@ -63,28 +65,31 @@ def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT, k=1):
 
 
 def model(per_chip=(2048, 2048), row_mesh_mlups=5500.0,
-          mesh_2d_mlups=3000.0, row_mesh_k=1,
+          mesh_2d_mlups=3000.0, row_mesh_k=1, mesh_2d_k=1, x_halo=8,
           meshes=((1, 1), (2, 1), (4, 1), (8, 1),
                   (16, 1), (2, 2), (2, 4), (4, 4),
                   (4, 8), (8, 8), (8, 16))):
     """Weak scaling: every chip keeps `per_chip` cells; the domain grows
     with the mesh. The per-shard compute rate is MEASURED on the real
-    chip (sharded_1x1_overhead.json): ``row_mesh_mlups`` for 1-wide
-    (ny, 1) meshes — the natural decomposition for the channel scene,
-    where the x_whole lean kernels run with ``row_mesh_k``-step temporal
-    blocking (one k-row-deep halo exchange per k steps: same bytes per
-    step, 1/k of the latency) — and ``mesh_2d_mlups`` for 2D meshes
-    (generic lane-patched lean kernels, k=1)."""
+    chip: ``row_mesh_mlups`` for 1-wide (ny, 1) meshes — the natural
+    decomposition for the channel scene, where the x_whole lean kernels
+    run with ``row_mesh_k``-step temporal blocking (one k-row-deep halo
+    exchange per k steps; sharded_1x1_overhead.json) — and
+    ``mesh_2d_mlups`` for 2D meshes (extended-window lean kernels at
+    ``mesh_2d_k`` steps per pass exchanging ``x_halo``-lane edge
+    blocks, sharded_1x1_ext.json; the k=1 generic lane-patched variant
+    when no ext measurement exists)."""
     h, w = per_chip
     cells = h * w
     rows = []
     for ny, nx in meshes:
         if nx == 1:
-            rate, k = row_mesh_mlups, row_mesh_k
+            rate, k, xh = row_mesh_mlups, row_mesh_k, 1
         else:
-            rate, k = mesh_2d_mlups, 1
+            rate, k, xh = mesh_2d_mlups, mesh_2d_k, (x_halo if
+                                                     mesh_2d_k > 1 else 1)
         t_comp = cells / (rate * 1e6)
-        t_comm = halo_time_s(h, w, ny, nx, k=k) / k
+        t_comm = halo_time_s(h, w, ny, nx, k=k, x_halo=xh) / k
         t_step = t_comp + t_comm
         chips = ny * nx
         rows.append({
@@ -118,9 +123,10 @@ def main():
     rate = float(bench.get("parsed", bench).get("value", 7300.0))
 
     overhead_path = os.path.join(RESULTS, "sharded_1x1_overhead.json")
-    row_rate, rate_2d, row_k = 5500.0, 3000.0, 1
+    row_rate, rate_2d, row_k, k_2d = 5500.0, 3000.0, 1, 1
     overhead = None
     overhead_src = "assumed (no measurement)"
+    rate_2d_src = "assumed"
     if os.path.exists(overhead_path):
         with open(overhead_path) as fo:
             ov = json.load(fo)
@@ -128,8 +134,19 @@ def main():
         if "sharded_k4_mlups" in ov:  # k=4 temporal blocking, row meshes
             row_rate, row_k = float(ov["sharded_k4_mlups"]), 4
         rate_2d = float(ov.get("sharded_generic_x_mlups", rate_2d))
+        rate_2d_src = "sharded_1x1_overhead.json generic-x k=1"
         overhead = float(ov["unsharded_mlups"]) / float(ov["sharded_mlups"])
         overhead_src = "sharded_1x1_overhead.json (measured on the real chip)"
+    ext_path = os.path.join(RESULTS, "sharded_1x1_ext.json")
+    if os.path.exists(ext_path):  # extended-window k-blocking, 2D meshes
+        with open(ext_path) as fo:
+            ex = json.load(fo)
+        for kk in (4, 2):
+            key = f"ext_k{kk}_mlups"
+            if key in ex and float(ex[key]) > rate_2d:
+                rate_2d, k_2d = float(ex[key]), kk
+                rate_2d_src = f"sharded_1x1_ext.json ext k={kk}"
+                break
 
     out = {
         "model": "t_step = cells / measured_per_shard_rate + max-link halo bytes / ICI_BW + latency; zero overlap assumed",
@@ -141,6 +158,8 @@ def main():
             "per_shard_row_mesh_mlups": row_rate,
             "per_shard_row_mesh_k": row_k,
             "per_shard_2d_mesh_mlups": rate_2d,
+            "per_shard_2d_mesh_k": k_2d,
+            "per_shard_2d_mesh_rate_source": rate_2d_src,
             "shard_overhead_1x1_vs_unsharded_k1": (
                 round(overhead, 3) if overhead else None),
             "rate_source": overhead_src,
@@ -148,17 +167,19 @@ def main():
                 "row-mesh rate is the measured k=4 temporally-blocked "
                 "lean-split kernel (one k-row-deep halo per 4 steps, "
                 "bit-exact vs the k=1 path over 24 steps on the real "
-                "chip); the 2D-mesh rate is the k=1 generic lane-patched "
-                "kernel — extending k-blocking to 2D meshes is remaining "
-                "headroom"
+                "chip); the 2D-mesh rate is the extended-window "
+                "k-blocked kernel when measured (x pulls ride ppermuted "
+                "8-lane neighbour edge blocks zero-padded to the "
+                "128-lane alignment extension), else the k=1 generic "
+                "lane-patched kernel"
             ),
         },
         "weak_scaling_2048sq_per_chip": model(
             per_chip=(2048, 2048), row_mesh_mlups=row_rate,
-            mesh_2d_mlups=rate_2d, row_mesh_k=row_k),
+            mesh_2d_mlups=rate_2d, row_mesh_k=row_k, mesh_2d_k=k_2d),
         "weak_scaling_1024sq_per_chip": model(
             per_chip=(1024, 1024), row_mesh_mlups=row_rate,
-            mesh_2d_mlups=rate_2d, row_mesh_k=row_k),
+            mesh_2d_mlups=rate_2d, row_mesh_k=row_k, mesh_2d_k=k_2d),
         "multi_host_note": (
             "across hosts the same halos ride DCN at ~3.1e9 B/s per "
             "host: a 2048-wide shard edge is 98 KB -> 32 us, so "

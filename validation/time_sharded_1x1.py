@@ -46,6 +46,7 @@ def timeit(run, state, fields, steps, reps=3):
 
 
 def main():
+    only_ext = "ext" in sys.argv[1:]
     res = (2048, 2048)
     cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
     state, fields = cyl.init(cfg)
@@ -70,6 +71,49 @@ def main():
     print(json.dumps({"path": "sharded-1x1-tiled64-full-boundary",
                       "us_per_step": t_fb / steps * 1e6,
                       "mlups": round(mlups_fb, 1)}), flush=True)
+
+    if only_ext:
+        # EXTENDED-WINDOW mode forced on the 1x1 mesh (the ring ppermute
+        # wraps the shard's own edge blocks back — the periodic values
+        # x_whole reproduces with rolls, so the full-boundary path is a
+        # valid numerics reference): the representative per-shard rate
+        # for k-step temporal blocking on nx > 1 (2D) meshes, which the
+        # column-patched generic variant cannot do.
+        chk_steps = 24
+        ref_out = full_run(state, fields, chk_steps)
+        ref_np = {kk: np.asarray(v) for kk, v in ref_out.items()}
+        from jrl_lbm_tpu.utils.types import CellType
+
+        fluid = np.asarray(fields["flags"]) != int(CellType.OBSTACLE)
+        out = {"full_boundary_mlups": round(mlups_fb, 1),
+               "k_check_steps": chk_steps, "x_ext": 128}
+        for kk in (1, 2, 4):
+            e_run = fsh.make_sharded_fused_cylinder_runner(
+                cfg, mesh, tile_rows=64, lean_k=kk, lean_x_ext=128
+            )
+            print(f"compiling sharded (ext x128, k={kk})...", flush=True)
+            out_k = e_run(state, fields, chk_steps)
+            dmax = 0.0
+            for key in ("f", "rho", "vel"):
+                a, b = np.asarray(out_k[key]), ref_np[key]
+                m = fluid if a.ndim == 2 else np.broadcast_to(fluid, a.shape)
+                dmax = max(dmax, float(np.max(np.abs(a[m] - b[m]))))
+            print(json.dumps({"check": f"ext-k{kk}-vs-full-boundary",
+                              "steps": chk_steps, "max_abs_dev": dmax}),
+                  flush=True)
+            t_e = timeit(e_run, state, fields, steps)
+            mlups_e = cells * steps / t_e / 1e6
+            print(json.dumps({"path": f"sharded-1x1-lean-ext128-k{kk}",
+                              "us_per_step": t_e / steps * 1e6,
+                              "mlups": round(mlups_e, 1)}), flush=True)
+            out[f"ext_k{kk}_mlups"] = round(mlups_e, 1)
+            out[f"ext_k{kk}_max_abs_dev_vs_full_boundary"] = dmax
+        print(json.dumps(out), flush=True)
+        with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "results", "sharded_1x1_ext.json"), "w") as fo:
+            json.dump(out, fo, indent=1)
+        return
 
     # shipping sharded path: lean interior sweep + cond-gated band-fix
     # windows (auto-selected; tile_rows sets the lean tile height). On a
