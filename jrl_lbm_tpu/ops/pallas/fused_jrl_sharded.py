@@ -1,0 +1,427 @@
+"""Sharded row-tiled fused JRL kernels: shard_map × ppermute y-halos.
+
+Multi-chip JRL at production refine levels (refine >= 8 per chip): the
+row-tiled fused kernels of `fused_jrl_tiled.py` run on each shard of a
+(ny, 1) row mesh, with the cross-shard 1-row y halos travelling as
+O(surface) ppermute pieces that the kernels swap in on their first/last
+tiles (the `fused_sharded._lean_tiled_step` pattern). Row meshes are
+the natural decomposition — JRL domains are H = 2W tall
+(`/root/reference/demo/demo_2d_LBM_JRL_fluid_cylinder.py:283`), and the
+x=0 symmetry axis plus the x=W-1 outflow wall leave nothing periodic to
+split in x.
+
+Three runner families, drop-in sharded twins of the `fused_jrl_tiled`
+ones (same (state, fields, ...) contracts, global arrays in/out):
+
+* fluid: kernel A (stream + SFC + macro) then kernel B (axisymmetric
+  BGK) per step — two ppermute rounds per step (kernel B's stencils
+  read the POST-macro rho/vel halos).
+* C balance: one kernel per step; the fixed-flags halo pieces are
+  hoisted out of the step loop.
+* C approach: one kernel per step; the tip-disk inflow/current
+  integrals (`demo_2d_LBM_JRL_C_ethaline.py:364-385`, flat flux form
+  `C_cylinder:344-358`) are computed at the jnp level from the output C
+  with masked row reads + `psum` — which is also exact when the disk
+  row lands on a tile's row 0, where the unsharded kernel's in-tile
+  ``Cm1`` roll wraps (documented caveat there).
+
+The concentration phase is where multi-chip matters most: every sweep
+case spends most of its steps there, and the balance phase alone is
+O(1e9) steps at reference dt (docs/STATUS.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled as T
+from jrl_lbm_tpu.parallel.mesh import AXIS_X, AXIS_Y
+
+f32 = jnp.float32
+
+
+def _pieces(x):
+    """Cross-shard 1-row y-halo pieces of a ``(planes, h, w)`` shard
+    block, zero-padded to Mosaic's 8-row block granularity: returns
+    ``(top, bot)`` of shape ``(planes, 8, w)`` with the real row
+    ADJACENT to the body (top's last row, bot's first row) — the layout
+    the shard-mode kernels read (`fused_jrl_tiled._make_kernel_a`)."""
+    from jrl_lbm_tpu.ops.pallas.fused_sharded import _halo_pieces
+
+    top, bot, _, _ = _halo_pieces(x, AXIS_Y, AXIS_X, cols=False, rows=1)
+    z = jnp.zeros(top.shape[:-2] + (7,) + top.shape[-1:], top.dtype)
+    return (jnp.concatenate([z, top], axis=-2),
+            jnp.concatenate([bot, z], axis=-2))
+
+
+def _pick_local_tile_rows(h: int) -> int:
+    for TH in (64, 32, 16, 8):
+        if h % TH == 0:
+            return TH
+    raise ValueError(f"shard height {h} not tileable (need h % 8 == 0)")
+
+
+def _step_a(off, step_arr, f, vel, rho, tpA, btA, cfg_c, TH, h, interpret):
+    W = cfg_c["W"]
+    n = h // TH
+    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    mid = lambda i: i  # noqa: E731
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pb = pl.BlockSpec((11, 8, W), lambda i: (0, 0, 0))
+    ka = T._make_kernel_a(cfg_c, TH, lambda i: i, shard=True)
+    return pl.pallas_call(
+        ka,
+        grid=(n,),
+        in_specs=[smem, smem, b3(up), b3(mid), b3(dn), b3(up, 2),
+                  b3(mid, 2), b3(dn, 2), b2(mid), pb, pb],
+        out_specs=[b3(mid), b2(mid), b3(mid, 2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, h, W), f32),
+            jax.ShapeDtypeStruct((h, W), f32),
+            jax.ShapeDtypeStruct((2, h, W), f32),
+        ],
+        compiler_params=T._VMEM_PARAMS,
+        interpret=interpret,
+    )(step_arr, off, f, f, f, vel, vel, vel, rho, tpA, btA)
+
+
+def _step_b(off, step_arr, f1, rho1, vel1, tpB, btB, cfg_c, TH, h,
+            interpret):
+    W = cfg_c["W"]
+    n = h // TH
+    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    mid = lambda i: i  # noqa: E731
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pb = pl.BlockSpec((3, 8, W), lambda i: (0, 0, 0))
+    kb = T._make_kernel_b(cfg_c, TH, lambda i: i, shard=True)
+    return pl.pallas_call(
+        kb,
+        grid=(n,),
+        in_specs=[smem, smem, b3(mid), b2(up), b2(mid), b2(dn), b3(up, 2),
+                  b3(mid, 2), b3(dn, 2), pb, pb],
+        out_specs=b3(mid),
+        out_shape=jax.ShapeDtypeStruct((9, h, W), f32),
+        compiler_params=T._VMEM_PARAMS,
+        interpret=interpret,
+    )(step_arr, off, f1, rho1, rho1, rho1, vel1, vel1, vel1, tpB, btB)
+
+
+def make_sharded_tiled_fluid_runner(cfg, mesh, tile_rows=None, unroll=8,
+                                    interpret=False):
+    """Sharded twin of `fused_jrl_tiled.make_tiled_fluid_runner`: same
+    (state, fields, start_step, n) contract with GLOBAL arrays (jit +
+    shard_map partition them onto the mesh)."""
+    ny, nx = mesh.devices.shape
+    if nx != 1:
+        raise ValueError("sharded JRL runners need a (ny, 1) row mesh")
+    H, W = cfg.eff_res
+    assert H % ny == 0, f"H={H} not divisible by ny={ny}"
+    h = H // ny
+    TH = tile_rows if tile_rows is not None else _pick_local_tile_rows(h)
+    assert h % TH == 0
+    cfg_c = T._cfg_consts(cfg)
+
+    def chunk_local(f, rho, vel, step0, k):
+        row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
+        off = row0.reshape(1)
+        for j in range(k):
+            step_arr = (step0 + float(j)).astype(f32).reshape(1, 1)
+            tpF, btF = _pieces(f)
+            tpV, btV = _pieces(vel)
+            tpA = jnp.concatenate([tpF, tpV], axis=0)
+            btA = jnp.concatenate([btF, btV], axis=0)
+            f1, rho1, vel1 = _step_a(off, step_arr, f, vel, rho, tpA, btA,
+                                     cfg_c, TH, h, interpret)
+            tpR, btR = _pieces(rho1[None])
+            tpV1, btV1 = _pieces(vel1)
+            tpB = jnp.concatenate([tpR, tpV1], axis=0)
+            btB = jnp.concatenate([btR, btV1], axis=0)
+            f = _step_b(off, step_arr, f1, rho1, vel1, tpB, btB, cfg_c,
+                        TH, h, interpret)
+            rho, vel = rho1, vel1
+        return f, rho, vel
+
+    s3 = P(None, AXIS_Y, None)
+    s2 = P(AXIS_Y, None)
+    chunks = {}
+
+    def get_chunk(k):
+        if k not in chunks:
+            fn = jax.shard_map(
+                partial(chunk_local, k=k), mesh=mesh,
+                in_specs=(s3, s2, s3, P()), out_specs=(s3, s2, s3),
+                check_vma=False,
+            )
+            chunks[k] = jax.jit(fn)
+        return chunks[k]
+
+    def run(state, fields, start_step, n: int):
+        del fields
+        f, rho, vel = state["f"], state["rho"], state["vel"]
+        s = int(start_step)
+        end = s + int(n)
+        while s < end:
+            k = min(unroll, end - s)
+            f, rho, vel = get_chunk(k)(f, rho, vel,
+                                       jnp.asarray(float(s), f32))
+            s += k
+        return {"f": f, "rho": rho, "vel": vel}
+
+    return run
+
+
+def _step_balance(off, flags, h_arr, C, tpFl, btFl, tpH, btH, cfg_c, TH,
+                  h, interpret):
+    W = cfg_c["W"]
+    n = h // TH
+    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    mid = lambda i: i  # noqa: E731
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pbf = pl.BlockSpec((1, 8, W), lambda i: (0, 0, 0))
+    pbh = pl.BlockSpec((9, 8, W), lambda i: (0, 0, 0))
+    k = T._make_c_balance_kernel(cfg_c, TH, shard=True)
+    return pl.pallas_call(
+        k,
+        grid=(n,),
+        in_specs=[smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid), b3(dn),
+                  b2(mid), pbf, pbf, pbh, pbh],
+        out_specs=[b3(mid), b2(mid)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, h, W), f32),
+            jax.ShapeDtypeStruct((h, W), f32),
+        ],
+        compiler_params=T._VMEM_PARAMS,
+        interpret=interpret,
+    )(off, flags, flags, flags, h_arr, h_arr, h_arr, C, tpFl, btFl,
+      tpH, btH)
+
+
+def make_sharded_tiled_balance_runner(cfg, flags, mesh, tile_rows=None,
+                                      unroll=8, interpret=False):
+    """Sharded twin of `fused_jrl_tiled.make_tiled_balance_runner`."""
+    ny, nx = mesh.devices.shape
+    if nx != 1:
+        raise ValueError("sharded JRL runners need a (ny, 1) row mesh")
+    H, W = cfg.eff_res
+    assert H % ny == 0
+    h = H // ny
+    TH = tile_rows if tile_rows is not None else _pick_local_tile_rows(h)
+    assert h % TH == 0
+    cfg_c = T._c_cfg_consts(cfg)
+
+    def chunk_local(h_arr, C, fl, k):
+        row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
+        off = row0.reshape(1)
+        tpFl, btFl = _pieces(fl[None])  # flags are fixed: hoisted
+        for _ in range(k):
+            tpH, btH = _pieces(h_arr)
+            h_arr, C = _step_balance(off, fl, h_arr, C, tpFl, btFl, tpH,
+                                     btH, cfg_c, TH, h, interpret)
+        return h_arr, C
+
+    s3 = P(None, AXIS_Y, None)
+    s2 = P(AXIS_Y, None)
+    chunks = {}
+
+    def get_chunk(k):
+        if k not in chunks:
+            fn = jax.shard_map(
+                partial(chunk_local, k=k), mesh=mesh,
+                in_specs=(s3, s2, s2), out_specs=(s3, s2),
+                check_vma=False,
+            )
+            chunks[k] = jax.jit(fn)
+        return chunks[k]
+
+    flags_dev = jnp.asarray(flags)
+
+    def run(state, fields, n: int):
+        del fields
+        h_arr, C = state["h"], state["C"]
+        s = 0
+        while s < int(n):
+            k = min(unroll, int(n) - s)
+            h_arr, C = get_chunk(k)(h_arr, C, flags_dev)
+            s += k
+        return {"C": C, "h": h_arr}
+
+    return run
+
+
+def _step_approach(off, step_arr, base_flags, h_arr, C, vel, tpFl, btFl,
+                   tpH, btH, cfg_c, TH, h, interpret):
+    W = cfg_c["W"]
+    n = h // TH
+    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    mid = lambda i: i  # noqa: E731
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pbf = pl.BlockSpec((1, 8, W), lambda i: (0, 0, 0))
+    pbh = pl.BlockSpec((9, 8, W), lambda i: (0, 0, 0))
+    k = T._make_c_approach_kernel(cfg_c, TH, shard=True)
+    return pl.pallas_call(
+        k,
+        grid=(n,),
+        in_specs=[smem, smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid),
+                  b3(dn), b2(mid), b3(mid, 2), pbf, pbf, pbh, pbh],
+        out_specs=[b3(mid), b2(mid)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, h, W), f32),
+            jax.ShapeDtypeStruct((h, W), f32),
+        ],
+        compiler_params=T._VMEM_PARAMS,
+        interpret=interpret,
+    )(step_arr, off, base_flags, base_flags, base_flags, h_arr, h_arr,
+      h_arr, C, vel, tpFl, btFl, tpH, btH)
+
+
+def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
+                                       tile_rows=None, unroll=8,
+                                       interpret=False):
+    """Sharded twin of `fused_jrl_tiled.make_tiled_approach_runner`:
+    same (state, fields, start_step, n) -> (state, acc) contract.
+
+    The stored-velocity frames shard along their row axis; the per-step
+    frame interpolation (`models/jrl.py::make_approach_step`) runs at
+    the jnp level on each shard's slice. The tip-disk integrals are
+    masked row reads of the output C summed with `psum` — each global
+    row is owned by exactly one shard, so the sum reproduces the
+    reference's `dynamic_slice` rows even when the disk straddles a
+    shard boundary."""
+    ny, nx = mesh.devices.shape
+    if nx != 1:
+        raise ValueError("sharded JRL runners need a (ny, 1) row mesh")
+    H, W = cfg.eff_res
+    assert H % ny == 0
+    h = H // ny
+    TH = tile_rows if tile_rows is not None else _pick_local_tile_rows(h)
+    assert h % TH == 0
+    cfg_c = T._c_cfg_consts(cfg)
+    v = cfg_c["v"]
+    inflow_h = cfg_c["inflow_h"]
+    rint = cfg_c["rint"]
+    flat = cfg_c["flat"]
+    frames = jnp.asarray(vel_field, f32)
+    n_frames = int(frames.shape[0])
+    area = jnp.asarray(np.asarray(cfg.area_array), f32)  # (rint,)
+    r_line = jnp.arange(rint + 1, dtype=f32) + 0.5
+
+    def chunk_local(h_arr, C, base_flags, fr, step0, acc0, k):
+        row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
+        off = row0.reshape(1)
+        tpFl, btFl = _pieces(base_flags[None])
+        infl, curr, ru, rv, cnt = (acc0[0], acc0[1], acc0[2], acc0[3],
+                                   acc0[4])
+
+        def row_of(a, grow):
+            """Global row ``grow`` of a local (h, W) plane: zeros on
+            shards that do not own it (psum restores the global row)."""
+            lr = grow - row0
+            ok = (lr >= 0) & (lr < h)
+            start = jnp.clip(lr, 0, h - 1)
+            row = jax.lax.dynamic_slice(a, (start, 0), (1, a.shape[1]))[0]
+            return jnp.where(ok, row, 0.0)
+
+        def disk_sum(row):
+            return jnp.sum(row[:rint] * area)
+
+        def dcr_sum(row):
+            rc = r_line * row[: rint + 1]
+            return jnp.sum((rc[1:] - rc[:rint]) / r_line[:rint] * area)
+
+        for j in range(k):
+            step = step0 + float(j)
+            step_arr = step.astype(f32).reshape(1, 1)
+            # stored-velocity interpolation in tip-position space
+            # (`models/jrl.py::make_approach_step`)
+            x_interval = 0.1
+            x_comp = step * v
+            b = jnp.clip(jnp.floor(x_comp / x_interval), 0.0,
+                         float(n_frames - 1))
+            t = x_comp / x_interval - b
+            bi = b.astype(jnp.int32)
+            v0 = jax.lax.dynamic_index_in_dim(fr, bi, axis=0,
+                                              keepdims=False)
+            v1 = jax.lax.dynamic_index_in_dim(
+                fr, jnp.minimum(bi + 1, n_frames - 1), axis=0,
+                keepdims=False,
+            )
+            vel = jnp.where(b + 1.0 < float(n_frames),
+                            v0 * (1.0 - t) + v1 * t, v0)
+
+            tpH, btH = _pieces(h_arr)
+            h_arr, C = _step_approach(off, step_arr, base_flags, h_arr, C,
+                                      vel, tpFl, btFl, tpH, btH, cfg_c,
+                                      TH, h, interpret)
+
+            # tip-disk integrals (jnp level; rows masked per shard)
+            walks = inflow_h + step * v
+            walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
+            c_in = row_of(C, walks_int)
+            c_cur = row_of(C, walks_int + 1)
+            if flat:
+                c_inm1 = row_of(C, walks_int - 1)
+                new_inflow = disk_sum(c_in) + dcr_sum(c_in) - disk_sum(c_inm1)
+                new_current = disk_sum(c_cur) + dcr_sum(c_cur) - disk_sum(c_in)
+            else:
+                new_inflow = disk_sum(c_in)
+                new_current = disk_sum(c_cur)
+            # C_vel at row walks_int + 1 is outside the tip block
+            # (gy >= walks_int), so it is just vel * v there
+            rec_u = disk_sum(row_of(vel[0], walks_int + 1)) * v
+            rec_v = disk_sum(row_of(vel[1], walks_int + 1)) * v
+            part = jnp.stack([new_inflow, new_current, rec_u, rec_v])
+            part = jax.lax.psum(part, (AXIS_Y, AXIS_X))
+            infl = infl + part[0]
+            curr = curr + part[1]
+            ru, rv = part[2], part[3]
+            cnt = cnt + 1.0
+        return h_arr, C, jnp.stack([infl, curr, ru, rv, cnt])
+
+    s3 = P(None, AXIS_Y, None)
+    s2 = P(AXIS_Y, None)
+    s4 = P(None, None, AXIS_Y, None)
+    chunks = {}
+
+    def get_chunk(k):
+        if k not in chunks:
+            fn = jax.shard_map(
+                partial(chunk_local, k=k), mesh=mesh,
+                in_specs=(s3, s2, s2, s4, P(), P()),
+                out_specs=(s3, s2, P()),
+                check_vma=False,
+            )
+            chunks[k] = jax.jit(fn)
+        return chunks[k]
+
+    def run(state, fields, start_step, n: int):
+        h_arr, C = state["h"], state["C"]
+        base_flags = fields["base_flags"]
+        acc = jnp.zeros((5,), f32)
+        s = int(start_step)
+        end = s + int(n)
+        while s < end:
+            k = min(unroll, end - s)
+            h_arr, C, acc = get_chunk(k)(
+                h_arr, C, base_flags, frames, jnp.asarray(float(s), f32),
+                acc,
+            )
+            s += k
+        return (
+            {"C": C, "h": h_arr},
+            {
+                "inflow_sum": acc[0],
+                "current_sum": acc[1],
+                "count": acc[4],
+                "rec_u": acc[2],
+                "rec_v": acc[3],
+            },
+        )
+
+    return run

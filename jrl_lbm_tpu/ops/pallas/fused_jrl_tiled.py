@@ -69,11 +69,6 @@ def _feq9(rho, ux, uy):
     return out
 
 
-def _stitch(tp, mid, bt):
-    """[TH+2, W] padded plane from a row-block and its y-neighbours."""
-    return jnp.concatenate([tp[..., -1:, :], mid, bt[..., 0:1, :]], axis=-2)
-
-
 class _TileCtx:
     """Per-tile masks + pull/stencil helpers over [TH+2, W] padded planes.
 
@@ -182,8 +177,14 @@ def _geometry(cfg_c, gy, gx, walks, walks_int):
     return flags, phi, tip, obs_v1
 
 
-def _make_kernel_a(cfg_c, TH, tile_map):
-    """Streaming + solid-fluid coupling + macro over one TH-row tile."""
+def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
+    """Streaming + solid-fluid coupling + macro over one TH-row tile.
+
+    ``shard=True`` builds the per-shard variant (fused_jrl_sharded.py):
+    the kernel gains an SMEM global-row-offset scalar and (11, 8, W)
+    cross-shard y-halo piece blocks (f x9 + vel x2, real row adjacent to
+    the body) that replace the within-shard BlockSpec wrap on the
+    first/last tiles — the `fused_sharded._lean_tiled_step` pattern."""
     H, W = cfg_c["H"], cfg_c["W"]
     tau = cfg_c["tau"]
     vel_obs = cfg_c["vel_obs"]
@@ -191,9 +192,30 @@ def _make_kernel_a(cfg_c, TH, tile_map):
     inflow_h = cfg_c["inflow_h"]
     eps = 1e-10
 
-    def kernel(step_ref, f_tp, f_m, f_bt, vel_tp, vel_m, vel_bt, rho_blk,
-               f_out, rho_out, vel_out):
-        t0 = tile_map(pl.program_id(0)) * TH
+    def kernel(*refs):
+        if shard:
+            (step_ref, off_ref, f_tp, f_m, f_bt, vel_tp, vel_m, vel_bt,
+             rho_blk, tpP, btP, f_out, rho_out, vel_out) = refs
+        else:
+            (step_ref, f_tp, f_m, f_bt, vel_tp, vel_m, vel_bt, rho_blk,
+             f_out, rho_out, vel_out) = refs
+            tpP = btP = None
+        pid = pl.program_id(0)
+        t0 = tile_map(pid) * TH
+        first = last = None
+        if shard:
+            t0 = t0 + off_ref[0]
+            first = pid == 0
+            last = pid == pl.num_programs(0) - 1
+
+        def stitch(tp, mid_, bt, pi):
+            top = tp[..., -1:, :]
+            bot = bt[..., 0:1, :]
+            if shard:
+                top = jnp.where(first, tpP[pi, -1:, :], top)
+                bot = jnp.where(last, btP[pi, 0:1, :], bot)
+            return jnp.concatenate([top, mid_, bot], axis=-2)
+
         step_idx = step_ref[0, 0]
         walks = inflow_h + step_idx * vel_obs
         walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
@@ -225,8 +247,8 @@ def _make_kernel_a(cfg_c, TH, tile_map):
         # wedge overwrites with obs_vel (top row excluded)
         vel0_m = vel_m[0]
         vel1_m = vel_m[1]
-        vel_p0 = _stitch(vel_tp[0], vel_m[0], vel_bt[0])
-        vel_p1 = _stitch(vel_tp[1], vel_m[1], vel_bt[1])
+        vel_p0 = stitch(vel_tp[0], vel_m[0], vel_bt[0], 9)
+        vel_p1 = stitch(vel_tp[1], vel_m[1], vel_bt[1], 10)
         if flat:
             vel0_m = jnp.where(tip, 0.0, vel0_m)
             vel1_m = jnp.where(tip, vel_obs, vel1_m)
@@ -242,7 +264,7 @@ def _make_kernel_a(cfg_c, TH, tile_map):
             obs_v1_full = obs_v1
             obs_v1_full_p = obs_v1_p
 
-        f_pad = [_stitch(f_tp[q], f_m[q], f_bt[q]) for q in range(9)]
+        f_pad = [stitch(f_tp[q], f_m[q], f_bt[q], q) for q in range(9)]
         fq = [f_m[q] for q in range(9)]
 
         # ---- streaming (pull + axis mirroring + sub-grid bounce) ----
@@ -372,9 +394,12 @@ def _make_kernel_a(cfg_c, TH, tile_map):
     return kernel
 
 
-def _make_kernel_b(cfg_c, TH, tile_map):
+def _make_kernel_b(cfg_c, TH, tile_map, shard=False):
     """Axisymmetric BGK collision over one TH-row tile (post-macro
-    stencils on the stitched rho/vel neighbour blocks)."""
+    stencils on the stitched rho/vel neighbour blocks).
+
+    ``shard=True``: SMEM row offset + (3, 8, W) cross-shard y-halo
+    pieces (rho + vel x2), as `_make_kernel_a`."""
     H, W = cfg_c["H"], cfg_c["W"]
     tau = cfg_c["tau"]
     vel_obs = cfg_c["vel_obs"]
@@ -382,9 +407,30 @@ def _make_kernel_b(cfg_c, TH, tile_map):
     fy = cfg_c["fy"]
     eps = 1e-10
 
-    def kernel(step_ref, f_m, rho_tp, rho_m, rho_bt, vel_tp, vel_m, vel_bt,
-               f_out):
-        t0 = tile_map(pl.program_id(0)) * TH
+    def kernel(*refs):
+        if shard:
+            (step_ref, off_ref, f_m, rho_tp, rho_m, rho_bt, vel_tp, vel_m,
+             vel_bt, tpP, btP, f_out) = refs
+        else:
+            (step_ref, f_m, rho_tp, rho_m, rho_bt, vel_tp, vel_m, vel_bt,
+             f_out) = refs
+            tpP = btP = None
+        pid = pl.program_id(0)
+        t0 = tile_map(pid) * TH
+        first = last = None
+        if shard:
+            t0 = t0 + off_ref[0]
+            first = pid == 0
+            last = pid == pl.num_programs(0) - 1
+
+        def stitch(tp, mid_, bt, pi):
+            top = tp[..., -1:, :]
+            bot = bt[..., 0:1, :]
+            if shard:
+                top = jnp.where(first, tpP[pi, -1:, :], top)
+                bot = jnp.where(last, btP[pi, 0:1, :], bot)
+            return jnp.concatenate([top, mid_, bot], axis=-2)
+
         step_idx = step_ref[0, 0]
         walks = inflow_h + step_idx * vel_obs
         walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
@@ -416,9 +462,9 @@ def _make_kernel_b(cfg_c, TH, tile_map):
             if (sx, sy) != (0, 0)
         }
 
-        rho_p = _stitch(rho_tp[:], rho_m[:], rho_bt[:])
-        vel_p0 = _stitch(vel_tp[0], vel_m[0], vel_bt[0])
-        vel_p1 = _stitch(vel_tp[1], vel_m[1], vel_bt[1])
+        rho_p = stitch(rho_tp[:], rho_m[:], rho_bt[:], 0)
+        vel_p0 = stitch(vel_tp[0], vel_m[0], vel_bt[0], 1)
+        vel_p1 = stitch(vel_tp[1], vel_m[1], vel_bt[1], 2)
         rho_n = rho_m[:]
         un0 = vel_m[0]
         un1 = vel_m[1]
@@ -707,15 +753,41 @@ def _stream_c(ctx, hq, h_pad, obs_pad, phi, flags, at_masks, cv=None):
     return h_new, in_mask, in2_mask, is_obs
 
 
-def _make_c_balance_kernel(cfg_c, TH):
-    """One balance step per tile: zero velocity, fixed flags."""
+def _make_c_balance_kernel(cfg_c, TH, shard=False):
+    """One balance step per tile: zero velocity, fixed flags.
+
+    ``shard=True``: SMEM row offset + cross-shard y-halo pieces —
+    (1, 8, W) flags (kept separate from the f32 planes: dtypes differ)
+    and (9, 8, W) h."""
     W = cfg_c["W"]
     tau_D = cfg_c["tau_D"]
     inv_tau = 1.0 / tau_D
     rate_coef = 1.0 - 0.5 / tau_D
 
-    def kernel(fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk, h_out, c_out):
-        t0 = pl.program_id(0) * TH
+    def kernel(*refs):
+        if shard:
+            (off_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk,
+             tpFl, btFl, tpH, btH, h_out, c_out) = refs
+        else:
+            (fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk, h_out,
+             c_out) = refs
+            tpFl = btFl = tpH = btH = None
+        pid = pl.program_id(0)
+        t0 = pid * TH
+        first = last = None
+        if shard:
+            t0 = t0 + off_ref[0]
+            first = pid == 0
+            last = pid == pl.num_programs(0) - 1
+
+        def stitch(tp, mid_, bt, tpp, btp, pi):
+            top = tp[..., -1:, :]
+            bot = bt[..., 0:1, :]
+            if shard:
+                top = jnp.where(first, tpp[pi, -1:, :], top)
+                bot = jnp.where(last, btp[pi, 0:1, :], bot)
+            return jnp.concatenate([top, mid_, bot], axis=-2)
+
         H = cfg_c["H"]
         gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
         gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
@@ -723,13 +795,14 @@ def _make_c_balance_kernel(cfg_c, TH):
         r = gx.astype(jnp.float32) + 0.5
 
         flags = fl_m[:]
-        flags_pad = _stitch(fl_tp[:], fl_m[:], fl_bt[:])
+        flags_pad = stitch(fl_tp[:], fl_m[:], fl_bt[:], tpFl, btFl, 0)
         obs_pad = (flags_pad == OBSTACLE).astype(jnp.float32)
         is_fluid = flags == FLUID
         ctx = _TileCtx(TH, W, *at_masks, is_fluid)
 
         hq = [h_m[q] for q in range(9)]
-        h_pad = [_stitch(h_tp[q], h_m[q], h_bt[q]) for q in range(9)]
+        h_pad = [stitch(h_tp[q], h_m[q], h_bt[q], tpH, btH, q)
+                 for q in range(9)]
         C = c_blk[:]
 
         h_new, in_mask, in2_mask, is_obs = _stream_c(
@@ -753,13 +826,19 @@ def _make_c_balance_kernel(cfg_c, TH):
     return kernel
 
 
-def _make_c_approach_kernel(cfg_c, TH):
+def _make_c_approach_kernel(cfg_c, TH, shard=False):
     """One approach step per tile + per-tile partial disk integrals.
 
     The stored-velocity frame pair is interpolated OUTSIDE the kernel
     (per step, in jnp) and arrives as a plain [2, TH, W] mid-block; the
     moving-tip geometry is analytic per tile (strict phi < 0, head-row
     INFLOW sink — `C_ethaline:296-304`).
+
+    ``shard=True``: SMEM row offset + cross-shard y-halo pieces
+    ((1, 8, W) base flags, (9, 8, W) h) and NO acc output — the sharded
+    driver computes the disk integrals at the jnp level from the output
+    C (which is also exact when the disk row lands on a tile's row 0,
+    where the in-kernel ``Cm1`` tile roll wraps).
     """
     import math as _math
 
@@ -797,9 +876,31 @@ def _make_c_approach_kernel(cfg_c, TH):
         head = (gy == walks_int - 1) & (gx < rint)
         return jnp.where(head, INFLOW, flags), phi
 
-    def kernel(step_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk, vel_m,
-               h_out, c_out, acc_out):
-        t0 = pl.program_id(0) * TH
+    def kernel(*refs):
+        if shard:
+            (step_ref, off_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt,
+             c_blk, vel_m, tpFl, btFl, tpH, btH, h_out, c_out) = refs
+            acc_out = None
+        else:
+            (step_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk, vel_m,
+             h_out, c_out, acc_out) = refs
+            tpFl = btFl = tpH = btH = None
+        pid = pl.program_id(0)
+        t0 = pid * TH
+        first = last = None
+        if shard:
+            t0 = t0 + off_ref[0]
+            first = pid == 0
+            last = pid == pl.num_programs(0) - 1
+
+        def stitch(tp, mid_, bt, tpp, btp, pi):
+            top = tp[..., -1:, :]
+            bot = bt[..., 0:1, :]
+            if shard:
+                top = jnp.where(first, tpp[pi, -1:, :], top)
+                bot = jnp.where(last, btp[pi, 0:1, :], bot)
+            return jnp.concatenate([top, mid_, bot], axis=-2)
+
         step_idx = step_ref[0, 0]
         walks = inflow_h + step_idx * v
         walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
@@ -818,7 +919,8 @@ def _make_c_approach_kernel(cfg_c, TH):
 
         flags, phi = tip(gy, gx, walks, walks_int, fl_m[:])
         flags_pad, _ = tip(
-            gy_p, gx_p, walks, walks_int, _stitch(fl_tp[:], fl_m[:], fl_bt[:])
+            gy_p, gx_p, walks, walks_int,
+            stitch(fl_tp[:], fl_m[:], fl_bt[:], tpFl, btFl, 0),
         )
         obs_pad = (flags_pad == OBSTACLE).astype(jnp.float32)
         is_fluid = flags == FLUID
@@ -833,7 +935,8 @@ def _make_c_approach_kernel(cfg_c, TH):
         cv1 = jnp.where(tip_block, v, vel_m[1] * v)
 
         hq = [h_m[q] for q in range(9)]
-        h_pad = [_stitch(h_tp[q], h_m[q], h_bt[q]) for q in range(9)]
+        h_pad = [stitch(h_tp[q], h_m[q], h_bt[q], tpH, btH, q)
+                 for q in range(9)]
         h_new, in_mask, in2_mask, is_obs = _stream_c(
             ctx, hq, h_pad, obs_pad, phi, flags, at_masks, cv=(cv0, cv1)
         )
@@ -856,6 +959,8 @@ def _make_c_approach_kernel(cfg_c, TH):
             collided = h_new[q] + w_rate * (feq_n[q] - h_new[q]) + Gq
             h_out[q] = jnp.where(is_obs, h_new[q], collided)
         c_out[:] = C_n
+        if shard:
+            return
 
         # per-tile partial integrals (`C_ethaline:364-385`; flat flux form
         # `C_cylinder:344-358`) -> lanes 0..3 of this tile's acc row
