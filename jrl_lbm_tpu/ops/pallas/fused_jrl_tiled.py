@@ -979,13 +979,19 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
         new_current = jnp.sum(integ * row_cur)
         rec_u = jnp.sum(cv0 * area_w * row_cur)
         rec_v = jnp.sum(cv1 * area_w * row_cur)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        acc_out[:] = (
+        # acc block is (1, 8, 128) — 8 sublanes because Mosaic requires
+        # block[-2] % 8 == 0 (a (1, 128) row block compiles in interpret
+        # mode but is REJECTED by the real-TPU lowering); values live on
+        # sublane 0, the rest stay zero and vanish in the caller's sum
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+        vals = (
             jnp.where(lane == 0, new_inflow, 0.0)
             + jnp.where(lane == 1, new_current, 0.0)
             + jnp.where(lane == 2, rec_u, 0.0)
             + jnp.where(lane == 3, rec_v, 0.0)
         )
+        acc_out[:] = jnp.where(sub == 0, vals, 0.0)
 
     return kernel
 
@@ -1062,7 +1068,8 @@ def _c_one_approach_step(h, C, base_flags, vel_field, step_scalar,
     )
     vel = jnp.where(b + 1.0 < float(n_frames), v0 * (1.0 - t) + v1 * t, v0)
 
-    kacc = pl.BlockSpec((1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kacc = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     k = _make_c_approach_kernel(cfg_c, TH)
     h2, C2, acc = pl.pallas_call(
         k,
@@ -1073,12 +1080,12 @@ def _c_one_approach_step(h, C, base_flags, vel_field, step_scalar,
         out_shape=[
             jax.ShapeDtypeStruct((9, H, W), f32),
             jax.ShapeDtypeStruct((H, W), f32),
-            jax.ShapeDtypeStruct((n, 128), f32),
+            jax.ShapeDtypeStruct((n, 8, 128), f32),
         ],
         compiler_params=_VMEM_PARAMS,
     )(step_scalar.reshape(1, 1), base_flags, base_flags, base_flags,
       h, h, h, C, vel)
-    sums = jnp.sum(acc, axis=0)
+    sums = jnp.sum(acc, axis=(0, 1))
     return h2, C2, (sums[0], sums[1], sums[2], sums[3])
 
 
