@@ -44,7 +44,8 @@ PLANES = 12  # f[9] + vel[2] + flags (fused_sharded.py docstring)
 BYTES = 4
 
 
-def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT, k=1, x_halo=1):
+def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT, k=1, x_halo=1,
+                planes=PLANES):
     """Serial halo time for an (h, w) f32 shard on an (ny, nx) mesh.
     ``k`` > 1 models k-step temporal blocking: one k-row-deep y halo
     (and, on 2D meshes, one ``x_halo``-lane-wide x edge block — the
@@ -52,9 +53,9 @@ def halo_time_s(h, w, ny, nx, bw=ICI_BW, lat=ICI_LAT, k=1, x_halo=1):
     once per super-step and divide by k)."""
     transfers = []
     if ny > 1:
-        transfers.append(PLANES * BYTES * w * k)
+        transfers.append(planes * BYTES * w * k)
     if nx > 1:
-        transfers.append(PLANES * BYTES * (h + 2 * k) * x_halo)
+        transfers.append(planes * BYTES * (h + 2 * k) * x_halo)
     if not transfers:
         return 0.0
     # y and x phases are sequential (corner correctness: x pieces are
@@ -103,6 +104,39 @@ def model(per_chip=(2048, 2048), row_mesh_mlups=5500.0,
             "weak_scaling_eff": round(t_comp / t_step, 4),
         })
     return rows
+
+
+def jrl_model(rates, per_chip=(1024, 512),
+              meshes=((1, 1), (2, 1), (4, 1), (8, 1), (16, 1))):
+    """Row-mesh weak scaling of the sharded JRL phase runners
+    (ops/pallas/fused_jrl_sharded.py) from the real-1x1-mesh rates in
+    jrl_sharded_1x1.json, at the production ethaline refine-8 shard.
+    Halo planes per step: C balance/approach exchange h[9] (the flags
+    pieces are fixed per phase and hoisted); the fluid step exchanges
+    f[9]+vel[2] before kernel A and rho+vel[2] before kernel B."""
+    h, w = per_chip
+    cells = h * w
+    phases = {"balance": 9, "approach": 9, "fluid": 14}
+    out = {}
+    for ph, planes in phases.items():
+        rate = rates.get(f"{ph}_sharded_mlups")
+        if not rate:
+            continue
+        rows = []
+        for ny, nx in meshes:
+            t_comp = cells / (rate * 1e6)
+            t_comm = halo_time_s(h, w, ny, nx, planes=planes)
+            if ph == "fluid":
+                t_comm += ICI_LAT  # two exchange rounds per step
+            t_step = t_comp + t_comm
+            rows.append({
+                "mesh": [ny, nx], "chips": ny * nx,
+                "halo_us": round(t_comm * 1e6, 2),
+                "mlups_per_chip": round(cells / t_step / 1e6, 1),
+                "weak_scaling_eff": round(t_comp / t_step, 4),
+            })
+        out[ph] = rows
+    return out
 
 
 def main():
@@ -180,6 +214,7 @@ def main():
         "weak_scaling_1024sq_per_chip": model(
             per_chip=(1024, 1024), row_mesh_mlups=row_rate,
             mesh_2d_mlups=rate_2d, row_mesh_k=row_k, mesh_2d_k=k_2d),
+        "jrl_row_mesh_weak_scaling_1024x512_per_chip": None,
         "multi_host_note": (
             "across hosts the same halos ride DCN at ~3.1e9 B/s per "
             "host: a 2048-wide shard edge is 98 KB -> 32 us, so "
@@ -188,6 +223,15 @@ def main():
             "jax.distributed wiring validated in tests/test_multihost.py"
         ),
     }
+    jrl_path = os.path.join(RESULTS, "jrl_sharded_1x1.json")
+    if os.path.exists(jrl_path):
+        with open(jrl_path) as fo:
+            jrl = json.load(fo)
+        out["jrl_row_mesh_weak_scaling_1024x512_per_chip"] = {
+            "rate_source": "jrl_sharded_1x1.json (real 1x1 mesh, "
+                           "ethaline refine 8)",
+            **jrl_model(jrl),
+        }
     os.makedirs(RESULTS, exist_ok=True)
     with open(os.path.join(RESULTS, "multichip_model.json"), "w") as fo:
         json.dump(out, fo, indent=1)
