@@ -20,10 +20,9 @@ ones (same (state, fields, ...) contracts, global arrays in/out):
   hoisted out of the step loop.
 * C approach: one kernel per step; the tip-disk inflow/current
   integrals (`demo_2d_LBM_JRL_C_ethaline.py:364-385`, flat flux form
-  `C_cylinder:344-358`) are computed at the jnp level from the output C
-  with masked row reads + `psum` — which is also exact when the disk
-  row lands on a tile's row 0, where the unsharded kernel's in-tile
-  ``Cm1`` roll wraps (documented caveat there).
+  `C_cylinder:344-358`) come out of the kernel as per-tile row-masked
+  partial sums (exact across tile and shard boundaries) and are
+  reduced with one tiny `psum` per step.
 
 The concentration phase is where multi-chip matters most: every sweep
 case spends most of its steps there, and the balance phase alone is
@@ -36,7 +35,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
@@ -264,16 +262,19 @@ def _step_approach(off, step_arr, base_flags, h_arr, C, vel, tpFl, btFl,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     pbf = pl.BlockSpec((1, 8, W), lambda i: (0, 0, 0))
     pbh = pl.BlockSpec((9, 8, W), lambda i: (0, 0, 0))
+    kacc = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     k = T._make_c_approach_kernel(cfg_c, TH, shard=True)
     return pl.pallas_call(
         k,
         grid=(n,),
         in_specs=[smem, smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid),
                   b3(dn), b2(mid), b3(mid, 2), pbf, pbf, pbh, pbh],
-        out_specs=[b3(mid), b2(mid)],
+        out_specs=[b3(mid), b2(mid), kacc],
         out_shape=[
             jax.ShapeDtypeStruct((9, h, W), f32),
             jax.ShapeDtypeStruct((h, W), f32),
+            jax.ShapeDtypeStruct((n, 8, 128), f32),
         ],
         compiler_params=T._VMEM_PARAMS,
         interpret=interpret,
@@ -289,11 +290,11 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
 
     The stored-velocity frames shard along their row axis; the per-step
     frame interpolation (`models/jrl.py::make_approach_step`) runs at
-    the jnp level on each shard's slice. The tip-disk integrals are
-    masked row reads of the output C summed with `psum` — each global
-    row is owned by exactly one shard, so the sum reproduces the
-    reference's `dynamic_slice` rows even when the disk straddles a
-    shard boundary."""
+    the jnp level on each shard's slice. The tip-disk integrals come out
+    of the kernel as per-tile row-masked partial sums (the acc output,
+    exact across tile AND shard boundaries because every term is a
+    single-row sum owned by exactly one tile) and are reduced with one
+    tiny `psum` per step."""
     ny, nx = mesh.devices.shape
     if nx != 1:
         raise ValueError("sharded JRL runners need a (ny, 1) row mesh")
@@ -304,13 +305,8 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
     assert h % TH == 0
     cfg_c = T._c_cfg_consts(cfg)
     v = cfg_c["v"]
-    inflow_h = cfg_c["inflow_h"]
-    rint = cfg_c["rint"]
-    flat = cfg_c["flat"]
     frames = jnp.asarray(vel_field, f32)
     n_frames = int(frames.shape[0])
-    area = jnp.asarray(np.asarray(cfg.area_array), f32)  # (rint,)
-    r_line = jnp.arange(rint + 1, dtype=f32) + 0.5
 
     def chunk_local(h_arr, C, base_flags, fr, step0, acc0, k):
         row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
@@ -318,22 +314,6 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
         tpFl, btFl = _pieces(base_flags[None])
         infl, curr, ru, rv, cnt = (acc0[0], acc0[1], acc0[2], acc0[3],
                                    acc0[4])
-
-        def row_of(a, grow):
-            """Global row ``grow`` of a local (h, W) plane: zeros on
-            shards that do not own it (psum restores the global row)."""
-            lr = grow - row0
-            ok = (lr >= 0) & (lr < h)
-            start = jnp.clip(lr, 0, h - 1)
-            row = jax.lax.dynamic_slice(a, (start, 0), (1, a.shape[1]))[0]
-            return jnp.where(ok, row, 0.0)
-
-        def disk_sum(row):
-            return jnp.sum(row[:rint] * area)
-
-        def dcr_sum(row):
-            rc = r_line * row[: rint + 1]
-            return jnp.sum((rc[1:] - rc[:rint]) / r_line[:rint] * area)
 
         for j in range(k):
             step = step0 + float(j)
@@ -356,28 +336,12 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
                             v0 * (1.0 - t) + v1 * t, v0)
 
             tpH, btH = _pieces(h_arr)
-            h_arr, C = _step_approach(off, step_arr, base_flags, h_arr, C,
-                                      vel, tpFl, btFl, tpH, btH, cfg_c,
-                                      TH, h, interpret)
-
-            # tip-disk integrals (jnp level; rows masked per shard)
-            walks = inflow_h + step * v
-            walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
-            c_in = row_of(C, walks_int)
-            c_cur = row_of(C, walks_int + 1)
-            if flat:
-                c_inm1 = row_of(C, walks_int - 1)
-                new_inflow = disk_sum(c_in) + dcr_sum(c_in) - disk_sum(c_inm1)
-                new_current = disk_sum(c_cur) + dcr_sum(c_cur) - disk_sum(c_in)
-            else:
-                new_inflow = disk_sum(c_in)
-                new_current = disk_sum(c_cur)
-            # C_vel at row walks_int + 1 is outside the tip block
-            # (gy >= walks_int), so it is just vel * v there
-            rec_u = disk_sum(row_of(vel[0], walks_int + 1)) * v
-            rec_v = disk_sum(row_of(vel[1], walks_int + 1)) * v
-            part = jnp.stack([new_inflow, new_current, rec_u, rec_v])
-            part = jax.lax.psum(part, (AXIS_Y, AXIS_X))
+            h_arr, C, acc = _step_approach(off, step_arr, base_flags,
+                                           h_arr, C, vel, tpFl, btFl,
+                                           tpH, btH, cfg_c, TH, h,
+                                           interpret)
+            part = jax.lax.psum(jnp.sum(acc, axis=(0, 1))[:4],
+                                (AXIS_Y, AXIS_X))
             infl = infl + part[0]
             curr = curr + part[1]
             ru, rv = part[2], part[3]

@@ -835,10 +835,11 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
     INFLOW sink — `C_ethaline:296-304`).
 
     ``shard=True``: SMEM row offset + cross-shard y-halo pieces
-    ((1, 8, W) base flags, (9, 8, W) h) and NO acc output — the sharded
-    driver computes the disk integrals at the jnp level from the output
-    C (which is also exact when the disk row lands on a tile's row 0,
-    where the in-kernel ``Cm1`` tile roll wraps).
+    ((1, 8, W) base flags, (9, 8, W) h). Both modes emit per-tile
+    partial disk integrals through the acc output: every term is a
+    row-masked sum of tile-local values (no cross-row roll), so the
+    partials are exact however the disk rows land on tile or shard
+    boundaries — the caller sums them (and, sharded, psums them).
     """
     import math as _math
 
@@ -879,8 +880,8 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
     def kernel(*refs):
         if shard:
             (step_ref, off_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt,
-             c_blk, vel_m, tpFl, btFl, tpH, btH, h_out, c_out) = refs
-            acc_out = None
+             c_blk, vel_m, tpFl, btFl, tpH, btH, h_out, c_out,
+             acc_out) = refs
         else:
             (step_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk, vel_m,
              h_out, c_out, acc_out) = refs
@@ -959,24 +960,31 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
             collided = h_new[q] + w_rate * (feq_n[q] - h_new[q]) + Gq
             h_out[q] = jnp.where(is_obs, h_new[q], collided)
         c_out[:] = C_n
-        if shard:
-            return
 
         # per-tile partial integrals (`C_ethaline:364-385`; flat flux form
-        # `C_cylinder:344-358`) -> lanes 0..3 of this tile's acc row
-        if flat:
-            Cm1 = pltpu.roll(C_n, 1, axis=0)
-            # row walks_int is never in tile row 0 in practice (the tip
-            # starts ~20 rows in); the roll wrap would only matter there
-            rC = (gx.astype(jnp.float32) + 0.5) * C_n
-            rC_next = pltpu.roll(rC, W - 1, axis=1)
-            integ = ((C_n - Cm1) + (rC_next - rC) / r) * area_w
-        else:
-            integ = C_n * area_w
+        # `C_cylinder:344-358`) -> lanes 0..3 of this tile's acc row.
+        # Every term is a row-masked sum of TILE-LOCAL values — the flat
+        # flux form's dC_z = C[wi] - C[wi-1] is split into two row sums
+        # (each row's partial comes from whichever tile owns it) instead
+        # of an axis-0 roll, which would wrap within the tile whenever
+        # the disk row lands on a tile-local row 0 (at TH=8 the moving
+        # tip head crosses such a row every 8 rows of travel).
+        disk = C_n * area_w
+        row_m1 = (gy == walks_int - 1).astype(jnp.float32)
         row_in = (gy == walks_int).astype(jnp.float32)
         row_cur = (gy == walks_int + 1).astype(jnp.float32)
-        new_inflow = jnp.sum(integ * row_in)
-        new_current = jnp.sum(integ * row_cur)
+        sum_in = jnp.sum(disk * row_in)
+        sum_cur = jnp.sum(disk * row_cur)
+        if flat:
+            rC = (gx.astype(jnp.float32) + 0.5) * C_n
+            rC_next = pltpu.roll(rC, W - 1, axis=1)
+            dcr = (rC_next - rC) / r * area_w
+            sum_m1 = jnp.sum(disk * row_m1)
+            new_inflow = (sum_in - sum_m1) + jnp.sum(dcr * row_in)
+            new_current = (sum_cur - sum_in) + jnp.sum(dcr * row_cur)
+        else:
+            new_inflow = sum_in
+            new_current = sum_cur
         rec_u = jnp.sum(cv0 * area_w * row_cur)
         rec_v = jnp.sum(cv1 * area_w * row_cur)
         # acc block is (1, 8, 128) — 8 sublanes because Mosaic requires

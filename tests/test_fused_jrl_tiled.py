@@ -112,3 +112,53 @@ def test_tiled_c_approach_matches_unfused(shape):
             float(out_acc[key]), float(ref_acc[key]), rtol=2e-4, atol=1e-4,
             err_msg=f"{shape}:{key}",
         )
+
+
+def test_tiled_c_approach_disk_row_on_tile_row0():
+    """FLAT flux-form integrals when the disk row lands on a tile-local
+    row 0 (regression: the old in-kernel ``Cm1 = roll(C, 1, axis=0)``
+    wrapped WITHIN the tile there, corrupting dC_z whenever the moving
+    tip head crossed a multiple of TH — every 8 rows of travel at TH=8).
+
+    cylinder at Pe=5 has vel_obs_conv = 0.1, so walks_int = 21 +
+    floor(s/10): steps 30..39 put the inflow disk row at 24 = tile 3's
+    row 0. Start from the step-25 unfused state and accumulate steps
+    25..34 on both paths.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled as tiled
+
+    cfg = jrl.JRLCConfig(res=(48, 32), Re=4.0, Pe=5.0, shape="cylinder")
+    assert abs(cfg.vel_obs_conv - 0.1) < 1e-12
+    state, fields, _flags = jrl.c_init(cfg)
+    rng = np.random.default_rng(7)
+    vel_field = jnp.asarray(
+        rng.uniform(-0.5, 0.5, size=(4, 2, 48, 32)).astype(np.float32)
+    )
+    fields = dict(fields)
+    fields["vel_field"] = vel_field
+
+    run_ref = jrl.make_approach_runner(cfg)
+    state25, _ = run_ref(state, fields, jnp.asarray(0, jnp.int32), 25)
+    ref_state, ref_acc = run_ref(state25, fields, jnp.asarray(25, jnp.int32),
+                                 10)
+    ref_state = jax.tree.map(np.asarray, ref_state)
+    ref_acc = jax.tree.map(np.asarray, ref_acc)
+
+    run = tiled.make_tiled_approach_runner(cfg, vel_field, tile_rows=8,
+                                           unroll=4)
+    with pltpu.force_tpu_interpret_mode():
+        out_state, out_acc = run(jax.tree.map(np.asarray, state25), fields,
+                                 25, 10)
+        out_state = jax.tree.map(np.asarray, out_state)
+        out_acc = jax.tree.map(np.asarray, out_acc)
+
+    np.testing.assert_allclose(
+        out_state["C"], ref_state["C"], rtol=2e-5, atol=2e-5
+    )
+    for key in ("inflow_sum", "current_sum", "count", "rec_u", "rec_v"):
+        np.testing.assert_allclose(
+            float(out_acc[key]), float(ref_acc[key]), rtol=2e-4, atol=1e-4,
+            err_msg=key,
+        )
