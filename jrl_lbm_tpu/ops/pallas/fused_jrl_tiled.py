@@ -177,6 +177,190 @@ def _geometry(cfg_c, gy, gx, walks, walks_int):
     return flags, phi, tip, obs_v1
 
 
+def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
+                    rho_mid):
+    """Streaming + solid-fluid coupling + macro on a ``rows``-row window.
+
+    Window-parametric body shared by the single-step kernel A and the
+    k-step temporally-blocked kernel. ``t0`` is the (possibly negative)
+    global row of output row 0 — all masks and the analytic geometry are
+    computed on gy mod H, so windows that wrap past the domain edge
+    (outer temporal-blocking levels) stay exact. ``f_pad`` is a list of
+    nine (rows+2, W) planes, ``vel_pad`` a pair, ``rho_mid`` (rows, W).
+    Returns (f_new list, rho_n, un0, un1) on the ``rows`` extent.
+    Reference stack: `propagation.cu` -> `solid_fluid_coupling.cu` ->
+    macro moments (`demo_2d_LBM_JRL_fluid_*.py:201-236`)."""
+    H, W = cfg_c["H"], cfg_c["W"]
+    tau = cfg_c["tau"]
+    vel_obs = cfg_c["vel_obs"]
+    flat = cfg_c["flat"]
+    eps = 1e-10
+
+    gy = jax.lax.rem(
+        t0 + jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + H, H
+    )
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    at_y0 = gy == 0
+    at_yH = gy == H - 1
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    gy_p = jax.lax.rem(
+        t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 0) + H, H
+    )
+    gx_p = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 1)
+
+    flags, phi, tip, obs_v1 = _geometry(cfg_c, gy, gx, walks, walks_int)
+    flags_p, _, tip_p, obs_v1_p = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
+    obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
+
+    is_fluid = flags == FLUID
+    is_obs = flags == OBSTACLE
+    of_mask = flags == OUTFLOW
+    ctx = _TileCtx(rows, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
+
+    # tip-overwritten velocity (mid + padded, for the SFC pulls);
+    # `make_fluid_step`: flat overwrites (0, vel_obs) in the block,
+    # wedge overwrites with obs_vel (top row excluded)
+    vel_p0, vel_p1 = vel_pad
+    vel0_m = vel_p0[1:-1, :]
+    vel1_m = vel_p1[1:-1, :]
+    if flat:
+        vel0_m = jnp.where(tip, 0.0, vel0_m)
+        vel1_m = jnp.where(tip, vel_obs, vel1_m)
+        vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
+        vel_p1 = jnp.where(tip_p, vel_obs, vel_p1)
+        obs_v1_full = jnp.where(tip, vel_obs, 0.0)
+        obs_v1_full_p = jnp.where(tip_p, vel_obs, 0.0)
+    else:
+        vel0_m = jnp.where(tip, 0.0, vel0_m)
+        vel1_m = jnp.where(tip, obs_v1, vel1_m)
+        vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
+        vel_p1 = jnp.where(tip_p, obs_v1_p, vel_p1)
+        obs_v1_full = obs_v1
+        obs_v1_full_p = obs_v1_p
+
+    fq = [f_pad[q][1:-1, :] for q in range(9)]
+
+    # ---- streaming (pull + axis mirroring + sub-grid bounce) ----
+    raw_in = [fq[0]] + [None] * 8
+    streamed = [fq[0]] + [None] * 8
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        val = ctx.pull(f_pad[q], ex, ey)
+        if q in AXIS_X_IN:
+            val = jnp.where(at_x0, ctx.pull(f_pad[int(MX[q])], ex, ey), val)
+        raw_in[q] = val
+        nbr_obs = ctx.pull(obs_pad, ex, ey) > 0.5
+        f_this = fq[int(REFL[q])]
+        nxt = ctx.pull(f_pad[int(REFL[q])], -ex, -ey)
+        if q in AXIS_X_OUT:
+            oq = int(MX[q])
+            nxt = jnp.where(
+                at_x0, ctx.pull(f_pad[int(REFL[oq])], -ex, -ey), nxt
+            )
+        t = phi
+        v1 = (2.0 * t - 1.0) * val + (2.0 - 2.0 * t) * f_this
+        v2 = (2.0 * t) * f_this + (1.0 - 2.0 * t) * nxt
+        v_obs = jnp.where(
+            (t >= 0.5) & (t <= 1.0),
+            v1,
+            jnp.where((t >= 0.0) & (t <= 0.5), v2, f_this),
+        )
+        streamed[q] = jnp.where(nbr_obs, v_obs, val)
+
+    f_new = [fq[0]]
+    for p in range(1, 9):
+        f_new.append(jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p]))
+
+    # OUTFLOW: copy all 9 from the inward neighbour (within-window)
+    for q in range(9):
+        g = f_new[q]
+        g = jnp.where(at_y0, pltpu.roll(g, rows - 1, axis=0), g)
+        g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
+        g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+        g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
+        f_new[q] = jnp.where(of_mask, g, f_new[q])
+
+    # ---- solid-fluid coupling (moving tip) ----
+    t_ok = (phi > -eps) & (phi <= 1.0 + eps)
+    skip = is_obs | at_xW | at_yH
+    rho_tgt = f_new[0]
+    for q in range(1, 9):
+        rho_tgt = rho_tgt + f_new[q]
+    vel_tgt_x = jnp.zeros((rows, W), jnp.float32)
+    vel_tgt_y = jnp.zeros((rows, W), jnp.float32)
+    count = jnp.zeros((rows, W), jnp.float32)
+    valid = []
+    for q in range(9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        if (ex, ey) == (0, 0):
+            # q=0's self-is-obstacle contribution only touches cells
+            # the reconstruction skips (matches fused_jrl's zero mask)
+            nbr_obs = jnp.zeros((rows, W), bool)
+        else:
+            nbr_obs = ctx.at_(obs_pad, ex, ey) > 0.5
+        v_q = nbr_obs & t_ok
+        valid.append(v_q)
+        vmask = v_q.astype(jnp.float32)
+        count = count + vmask
+        tq = jnp.where(v_q, phi, 0.0)
+        ux = ctx.at_(vel_p0, -ex, -ey)
+        uy = ctx.at_(vel_p1, -ex, -ey)
+        if q in AXIS_X_IN:
+            ux = jnp.where(at_x0, -ux, ux)
+        obs_ux = jnp.zeros((rows, W), jnp.float32)
+        obs_uy = ctx.at_(obs_v1_full_p, ex, ey) if (ex, ey) != (0, 0) else obs_v1_full
+        vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
+        vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
+        qi = int(REFL[q])
+        rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (
+            float(E[qi, 0]) * obs_ux + float(E[qi, 1]) * obs_uy
+        )
+    safe_count = jnp.where(count > 0, count, 1.0)
+    u0 = vel_tgt_x / safe_count
+    u1 = vel_tgt_y / safe_count
+
+    def grad12(pad):
+        gxx = (
+            4.0 * (ctx.at_(pad, 1, 0) - ctx.at_(pad, -1, 0))
+            + (ctx.at_(pad, 1, 1) - ctx.at_(pad, -1, 1))
+            + (ctx.at_(pad, 1, -1) - ctx.at_(pad, -1, -1))
+        ) / 12.0
+        gyy = (
+            4.0 * (ctx.at_(pad, 0, 1) - ctx.at_(pad, 0, -1))
+            + (ctx.at_(pad, 1, 1) - ctx.at_(pad, 1, -1))
+            + (ctx.at_(pad, -1, 1) - ctx.at_(pad, -1, -1))
+        ) / 12.0
+        return gxx, gyy
+
+    g00, g01 = grad12(vel_p0)
+    g10, g11 = grad12(vel_p1)
+    for q in range(9):
+        qi = int(REFL[q])
+        e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+        pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
+        pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
+        pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
+        pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
+        recon = float(W_Q[qi]) * rho_tgt * (
+            1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
+        )
+        mask = valid[q] & jnp.logical_not(skip)
+        f_new[qi] = jnp.where(mask, recon, f_new[qi])
+
+    # ---- macro (OBSTACLE passthrough of pre-macro rho / tip vel) ----
+    macro_rho = f_new[0]
+    for q in range(1, 9):
+        macro_rho = macro_rho + f_new[q]
+    rho_n = jnp.where(is_obs, rho_mid, macro_rho)
+    mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+    mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    un0 = jnp.where(is_obs, vel0_m, mom_x / safe_rho)
+    un1 = jnp.where(is_obs, vel1_m, mom_y / safe_rho)
+    return f_new, rho_n, un0, un1
+
+
 def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
     """Streaming + solid-fluid coupling + macro over one TH-row tile.
 
@@ -185,12 +369,8 @@ def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
     cross-shard y-halo piece blocks (f x9 + vel x2, real row adjacent to
     the body) that replace the within-shard BlockSpec wrap on the
     first/last tiles — the `fused_sharded._lean_tiled_step` pattern."""
-    H, W = cfg_c["H"], cfg_c["W"]
-    tau = cfg_c["tau"]
     vel_obs = cfg_c["vel_obs"]
-    flat = cfg_c["flat"]
     inflow_h = cfg_c["inflow_h"]
-    eps = 1e-10
 
     def kernel(*refs):
         if shard:
@@ -220,171 +400,14 @@ def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
         walks = inflow_h + step_idx * vel_obs
         walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
 
-        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
-        at_y0 = gy == 0
-        at_yH = gy == H - 1
-        at_x0 = gx == 0
-        at_xW = gx == W - 1
-        # padded-row global coords (wrapped: halo rows come from the
-        # periodic neighbour blocks)
-        gy_p = jax.lax.rem(
-            t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0) + H, H
-        )
-        gx_p = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
-
-        flags, phi, tip, obs_v1 = _geometry(cfg_c, gy, gx, walks, walks_int)
-        flags_p, _, tip_p, obs_v1_p = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
-        obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
-
-        is_fluid = flags == FLUID
-        is_obs = flags == OBSTACLE
-        of_mask = flags == OUTFLOW
-        ctx = _TileCtx(TH, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
-
-        # tip-overwritten velocity (mid + padded, for the SFC pulls);
-        # `make_fluid_step`: flat overwrites (0, vel_obs) in the block,
-        # wedge overwrites with obs_vel (top row excluded)
-        vel0_m = vel_m[0]
-        vel1_m = vel_m[1]
-        vel_p0 = stitch(vel_tp[0], vel_m[0], vel_bt[0], 9)
-        vel_p1 = stitch(vel_tp[1], vel_m[1], vel_bt[1], 10)
-        if flat:
-            vel0_m = jnp.where(tip, 0.0, vel0_m)
-            vel1_m = jnp.where(tip, vel_obs, vel1_m)
-            vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
-            vel_p1 = jnp.where(tip_p, vel_obs, vel_p1)
-            obs_v1_full = jnp.where(tip, vel_obs, 0.0)
-            obs_v1_full_p = jnp.where(tip_p, vel_obs, 0.0)
-        else:
-            vel0_m = jnp.where(tip, 0.0, vel0_m)
-            vel1_m = jnp.where(tip, obs_v1, vel1_m)
-            vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
-            vel_p1 = jnp.where(tip_p, obs_v1_p, vel_p1)
-            obs_v1_full = obs_v1
-            obs_v1_full_p = obs_v1_p
-
         f_pad = [stitch(f_tp[q], f_m[q], f_bt[q], q) for q in range(9)]
-        fq = [f_m[q] for q in range(9)]
-
-        # ---- streaming (pull + axis mirroring + sub-grid bounce) ----
-        raw_in = [fq[0]] + [None] * 8
-        streamed = [fq[0]] + [None] * 8
-        for q in range(1, 9):
-            ex, ey = int(E[q, 0]), int(E[q, 1])
-            val = ctx.pull(f_pad[q], ex, ey)
-            if q in AXIS_X_IN:
-                val = jnp.where(at_x0, ctx.pull(f_pad[int(MX[q])], ex, ey), val)
-            raw_in[q] = val
-            nbr_obs = ctx.pull(obs_pad, ex, ey) > 0.5
-            f_this = fq[int(REFL[q])]
-            nxt = ctx.pull(f_pad[int(REFL[q])], -ex, -ey)
-            if q in AXIS_X_OUT:
-                oq = int(MX[q])
-                nxt = jnp.where(
-                    at_x0, ctx.pull(f_pad[int(REFL[oq])], -ex, -ey), nxt
-                )
-            t = phi
-            v1 = (2.0 * t - 1.0) * val + (2.0 - 2.0 * t) * f_this
-            v2 = (2.0 * t) * f_this + (1.0 - 2.0 * t) * nxt
-            v_obs = jnp.where(
-                (t >= 0.5) & (t <= 1.0),
-                v1,
-                jnp.where((t >= 0.0) & (t <= 0.5), v2, f_this),
-            )
-            streamed[q] = jnp.where(nbr_obs, v_obs, val)
-
-        f_new = [fq[0]]
-        for p in range(1, 9):
-            f_new.append(jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p]))
-
-        # OUTFLOW: copy all 9 from the inward neighbour (within-tile)
-        for q in range(9):
-            g = f_new[q]
-            g = jnp.where(at_y0, pltpu.roll(g, TH - 1, axis=0), g)
-            g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-            g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
-            g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
-            f_new[q] = jnp.where(of_mask, g, f_new[q])
-
-        # ---- solid-fluid coupling (moving tip) ----
-        t_ok = (phi > -eps) & (phi <= 1.0 + eps)
-        skip = is_obs | at_xW | at_yH
-        rho_tgt = f_new[0]
-        for q in range(1, 9):
-            rho_tgt = rho_tgt + f_new[q]
-        vel_tgt_x = jnp.zeros((TH, W), jnp.float32)
-        vel_tgt_y = jnp.zeros((TH, W), jnp.float32)
-        count = jnp.zeros((TH, W), jnp.float32)
-        valid = []
-        for q in range(9):
-            ex, ey = int(E[q, 0]), int(E[q, 1])
-            if (ex, ey) == (0, 0):
-                # q=0's self-is-obstacle contribution only touches cells
-                # the reconstruction skips (matches fused_jrl's zero mask)
-                nbr_obs = jnp.zeros((TH, W), bool)
-            else:
-                nbr_obs = ctx.at_(obs_pad, ex, ey) > 0.5
-            v_q = nbr_obs & t_ok
-            valid.append(v_q)
-            vmask = v_q.astype(jnp.float32)
-            count = count + vmask
-            tq = jnp.where(v_q, phi, 0.0)
-            ux = ctx.at_(vel_p0, -ex, -ey)
-            uy = ctx.at_(vel_p1, -ex, -ey)
-            if q in AXIS_X_IN:
-                ux = jnp.where(at_x0, -ux, ux)
-            obs_ux = jnp.zeros((TH, W), jnp.float32)
-            obs_uy = ctx.at_(obs_v1_full_p, ex, ey) if (ex, ey) != (0, 0) else obs_v1_full
-            vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
-            vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
-            qi = int(REFL[q])
-            rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (
-                float(E[qi, 0]) * obs_ux + float(E[qi, 1]) * obs_uy
-            )
-        safe_count = jnp.where(count > 0, count, 1.0)
-        u0 = vel_tgt_x / safe_count
-        u1 = vel_tgt_y / safe_count
-
-        def grad12(pad):
-            gxx = (
-                4.0 * (ctx.at_(pad, 1, 0) - ctx.at_(pad, -1, 0))
-                + (ctx.at_(pad, 1, 1) - ctx.at_(pad, -1, 1))
-                + (ctx.at_(pad, 1, -1) - ctx.at_(pad, -1, -1))
-            ) / 12.0
-            gyy = (
-                4.0 * (ctx.at_(pad, 0, 1) - ctx.at_(pad, 0, -1))
-                + (ctx.at_(pad, 1, 1) - ctx.at_(pad, 1, -1))
-                + (ctx.at_(pad, -1, 1) - ctx.at_(pad, -1, -1))
-            ) / 12.0
-            return gxx, gyy
-
-        g00, g01 = grad12(vel_p0)
-        g10, g11 = grad12(vel_p1)
-        for q in range(9):
-            qi = int(REFL[q])
-            e0, e1 = float(E[qi, 0]), float(E[qi, 1])
-            pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
-            pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
-            pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
-            pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
-            recon = float(W_Q[qi]) * rho_tgt * (
-                1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
-            )
-            mask = valid[q] & jnp.logical_not(skip)
-            f_new[qi] = jnp.where(mask, recon, f_new[qi])
-
-        # ---- macro (OBSTACLE passthrough of pre-macro rho / tip vel) ----
-        macro_rho = f_new[0]
-        for q in range(1, 9):
-            macro_rho = macro_rho + f_new[q]
-        rho_n = jnp.where(is_obs, rho_blk[:], macro_rho)
-        mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
-        mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
-        safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
-        un0 = jnp.where(is_obs, vel0_m, mom_x / safe_rho)
-        un1 = jnp.where(is_obs, vel1_m, mom_y / safe_rho)
-
+        vel_pad = (
+            stitch(vel_tp[0], vel_m[0], vel_bt[0], 9),
+            stitch(vel_tp[1], vel_m[1], vel_bt[1], 10),
+        )
+        f_new, rho_n, un0, un1 = _fluid_a_update(
+            cfg_c, TH, t0, walks, walks_int, f_pad, vel_pad, rho_blk[:]
+        )
         for q in range(9):
             f_out[q] = f_new[q]
         rho_out[:] = rho_n
@@ -400,12 +423,8 @@ def _make_kernel_b(cfg_c, TH, tile_map, shard=False):
 
     ``shard=True``: SMEM row offset + (3, 8, W) cross-shard y-halo
     pieces (rho + vel x2), as `_make_kernel_a`."""
-    H, W = cfg_c["H"], cfg_c["W"]
-    tau = cfg_c["tau"]
     vel_obs = cfg_c["vel_obs"]
     inflow_h = cfg_c["inflow_h"]
-    fy = cfg_c["fy"]
-    eps = 1e-10
 
     def kernel(*refs):
         if shard:
@@ -435,113 +454,139 @@ def _make_kernel_b(cfg_c, TH, tile_map, shard=False):
         walks = inflow_h + step_idx * vel_obs
         walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
 
-        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
-        at_y0 = gy == 0
-        at_yH = gy == H - 1
-        at_x0 = gx == 0
-        at_xW = gx == W - 1
-        xs = gx.astype(jnp.float32) + 0.5
-        gy_p = jax.lax.rem(
-            t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0) + H, H
+        f_new = _fluid_b_update(
+            cfg_c, TH, t0, walks, walks_int,
+            [f_m[q] for q in range(9)],
+            stitch(rho_tp[:], rho_m[:], rho_bt[:], 0),
+            (stitch(vel_tp[0], vel_m[0], vel_bt[0], 1),
+             stitch(vel_tp[1], vel_m[1], vel_bt[1], 2)),
         )
-        gx_p = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
-        xs_p = gx_p.astype(jnp.float32) + 0.5
-
-        flags, _, _, _ = _geometry(cfg_c, gy, gx, walks, walks_int)
-        flags_p, _, _, _ = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
-        obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
-        is_fluid = flags == FLUID
-        is_obs = flags == OBSTACLE
-        ctx = _TileCtx(TH, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
-
-        no8 = {
-            (sx, sy): ctx.at_(obs_pad, sx, sy) > 0.5
-            for sx in (-1, 0, 1)
-            for sy in (-1, 0, 1)
-            if (sx, sy) != (0, 0)
-        }
-
-        rho_p = stitch(rho_tp[:], rho_m[:], rho_bt[:], 0)
-        vel_p0 = stitch(vel_tp[0], vel_m[0], vel_bt[0], 1)
-        vel_p1 = stitch(vel_tp[1], vel_m[1], vel_bt[1], 2)
-        rho_n = rho_m[:]
-        un0 = vel_m[0]
-        un1 = vel_m[1]
-        fq = [f_m[q] for q in range(9)]
-
-        # feq with the Guo half-force shift (constant body force (0, fy))
-        safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
-        sh = jnp.where(rho_n <= eps, 0.0, 0.5 * fy / safe_rho)
-        feq_n = _feq9(rho_n, un0, un1 + sh)
-
-        r = xs
-        ur = un0
-        A1 = -rho_n * ur / r
-        A1_pad = -rho_p * vel_p0 / xs_p
-        visc = CS2 * (tau - 0.5)
-        mu = visc * rho_n
-        pressure_pad = rho_p * CS2
-        mom0_pad = rho_p * vel_p0 * vel_p0
-        mom1_pad = rho_p * vel_p0 * vel_p1
-
-        def grad_blocked(pad):
-            def val(sx, sy):
-                return ctx.at_(pad, sx, sy)
-
-            gxx = jnp.zeros((TH, W), jnp.float32)
-            bx = jnp.zeros((TH, W), bool)
-            p = no8[(1, 0)] | no8[(-1, 0)]
-            gxx = gxx + jnp.where(p, 0.0, 4.0 * (val(1, 0) - val(-1, 0)))
-            bx = bx | p
-            p = no8[(1, 1)] | no8[(-1, 1)]
-            gxx = gxx + jnp.where(p, 0.0, val(1, 1) - val(-1, 1))
-            bx = bx | p
-            p = no8[(-1, -1)] | no8[(1, -1)]
-            gxx = gxx + jnp.where(p, 0.0, val(1, -1) - val(-1, -1))
-            bx = bx | p
-            gxx = jnp.where(bx | is_obs, 0.0, gxx) / 12.0
-
-            gyy = jnp.zeros((TH, W), jnp.float32)
-            by = jnp.zeros((TH, W), bool)
-            p = no8[(0, 1)] | no8[(0, -1)]
-            gyy = gyy + jnp.where(p, 0.0, 4.0 * (val(0, 1) - val(0, -1)))
-            by = by | p
-            p = no8[(1, 1)] | no8[(1, -1)]
-            gyy = gyy + jnp.where(p, 0.0, val(1, 1) - val(1, -1))
-            by = by | p
-            p = no8[(-1, 1)] | no8[(-1, -1)]
-            gyy = gyy + jnp.where(p, 0.0, val(-1, 1) - val(-1, -1))
-            by = by | p
-            gyy = jnp.where(by | is_obs, 0.0, gyy) / 12.0
-            return gxx, gyy
-
-        def div_free(m0_pad, m1_pad):
-            d = 4.0 * (ctx.at_(m0_pad, 1, 0) - ctx.at_(m0_pad, -1, 0))
-            d = d + ctx.at_(m0_pad, 1, 1) - ctx.at_(m0_pad, -1, 1)
-            d = d + ctx.at_(m0_pad, 1, -1) - ctx.at_(m0_pad, -1, -1)
-            d = d + 4.0 * (ctx.at_(m1_pad, 0, 1) - ctx.at_(m1_pad, 0, -1))
-            d = d + ctx.at_(m1_pad, 1, 1) - ctx.at_(m1_pad, 1, -1)
-            d = d + ctx.at_(m1_pad, -1, 1) - ctx.at_(m1_pad, -1, -1)
-            return jnp.where(is_obs, 0.0, d / 12.0)
-
-        gu_x, _ = grad_blocked(vel_p0)
-        gv_x, _ = grad_blocked(vel_p1)
-        gp_x, _ = grad_blocked(pressure_pad)
-        div_m = div_free(mom0_pad, mom1_pad)
-        A2 = (gp_x + div_m) * (1.0 / (2.0 * r))
-        ga1_x, ga1_y = grad_blocked(A1_pad)
-        F2_0 = (mu / r) * (gu_x - ur / r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
-        F2_1 = (mu / r) * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
-
-        inv_tau = 1.0 / tau
         for q in range(9):
-            e0, e1 = float(E[q, 0]), float(E[q, 1])
-            Gq = (A1 + A2 + (e0 * F2_0 + e1 * F2_1) / CS2) * float(W_Q[q])
-            collided = fq[q] + inv_tau * (feq_n[q] - fq[q]) + Gq
-            f_out[q] = jnp.where(is_obs, fq[q], collided)
+            f_out[q] = f_new[q]
 
     return kernel
+
+
+def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
+                    vel_pad):
+    """Axisymmetric BGK collision on a ``rows``-row window (post-macro
+    stencils on the padded rho/vel planes). Window-parametric body
+    shared by the single-step kernel B and the k-step kernel; same
+    wrap-safe gy-mod-H convention as `_fluid_a_update`. ``fq`` is the
+    post-stream f list (rows, W); ``rho_pad``/(vel_pad pair) are
+    (rows+2, W). Reference: `LBM_collision_2d.py:343-427`."""
+    H, W = cfg_c["H"], cfg_c["W"]
+    tau = cfg_c["tau"]
+    fy = cfg_c["fy"]
+    eps = 1e-10
+
+    gy = jax.lax.rem(
+        t0 + jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + H, H
+    )
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    at_y0 = gy == 0
+    at_yH = gy == H - 1
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    xs = gx.astype(jnp.float32) + 0.5
+    gy_p = jax.lax.rem(
+        t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 0) + H, H
+    )
+    gx_p = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 1)
+    xs_p = gx_p.astype(jnp.float32) + 0.5
+
+    flags, _, _, _ = _geometry(cfg_c, gy, gx, walks, walks_int)
+    flags_p, _, _, _ = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
+    obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
+    is_fluid = flags == FLUID
+    is_obs = flags == OBSTACLE
+    ctx = _TileCtx(rows, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
+
+    no8 = {
+        (sx, sy): ctx.at_(obs_pad, sx, sy) > 0.5
+        for sx in (-1, 0, 1)
+        for sy in (-1, 0, 1)
+        if (sx, sy) != (0, 0)
+    }
+
+    rho_p = rho_pad
+    vel_p0, vel_p1 = vel_pad
+    rho_n = rho_p[1:-1, :]
+    un0 = vel_p0[1:-1, :]
+    un1 = vel_p1[1:-1, :]
+
+    # feq with the Guo half-force shift (constant body force (0, fy))
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    sh = jnp.where(rho_n <= eps, 0.0, 0.5 * fy / safe_rho)
+    feq_n = _feq9(rho_n, un0, un1 + sh)
+
+    r = xs
+    ur = un0
+    A1 = -rho_n * ur / r
+    A1_pad = -rho_p * vel_p0 / xs_p
+    visc = CS2 * (tau - 0.5)
+    mu = visc * rho_n
+    pressure_pad = rho_p * CS2
+    mom0_pad = rho_p * vel_p0 * vel_p0
+    mom1_pad = rho_p * vel_p0 * vel_p1
+
+    def grad_blocked(pad):
+        def val(sx, sy):
+            return ctx.at_(pad, sx, sy)
+
+        gxx = jnp.zeros((rows, W), jnp.float32)
+        bx = jnp.zeros((rows, W), bool)
+        p = no8[(1, 0)] | no8[(-1, 0)]
+        gxx = gxx + jnp.where(p, 0.0, 4.0 * (val(1, 0) - val(-1, 0)))
+        bx = bx | p
+        p = no8[(1, 1)] | no8[(-1, 1)]
+        gxx = gxx + jnp.where(p, 0.0, val(1, 1) - val(-1, 1))
+        bx = bx | p
+        p = no8[(-1, -1)] | no8[(1, -1)]
+        gxx = gxx + jnp.where(p, 0.0, val(1, -1) - val(-1, -1))
+        bx = bx | p
+        gxx = jnp.where(bx | is_obs, 0.0, gxx) / 12.0
+
+        gyy = jnp.zeros((rows, W), jnp.float32)
+        by = jnp.zeros((rows, W), bool)
+        p = no8[(0, 1)] | no8[(0, -1)]
+        gyy = gyy + jnp.where(p, 0.0, 4.0 * (val(0, 1) - val(0, -1)))
+        by = by | p
+        p = no8[(1, 1)] | no8[(1, -1)]
+        gyy = gyy + jnp.where(p, 0.0, val(1, 1) - val(1, -1))
+        by = by | p
+        p = no8[(-1, 1)] | no8[(-1, -1)]
+        gyy = gyy + jnp.where(p, 0.0, val(-1, 1) - val(-1, -1))
+        by = by | p
+        gyy = jnp.where(by | is_obs, 0.0, gyy) / 12.0
+        return gxx, gyy
+
+    def div_free(m0_pad, m1_pad):
+        d = 4.0 * (ctx.at_(m0_pad, 1, 0) - ctx.at_(m0_pad, -1, 0))
+        d = d + ctx.at_(m0_pad, 1, 1) - ctx.at_(m0_pad, -1, 1)
+        d = d + ctx.at_(m0_pad, 1, -1) - ctx.at_(m0_pad, -1, -1)
+        d = d + 4.0 * (ctx.at_(m1_pad, 0, 1) - ctx.at_(m1_pad, 0, -1))
+        d = d + ctx.at_(m1_pad, 1, 1) - ctx.at_(m1_pad, 1, -1)
+        d = d + ctx.at_(m1_pad, -1, 1) - ctx.at_(m1_pad, -1, -1)
+        return jnp.where(is_obs, 0.0, d / 12.0)
+
+    gu_x, _ = grad_blocked(vel_p0)
+    gv_x, _ = grad_blocked(vel_p1)
+    gp_x, _ = grad_blocked(pressure_pad)
+    div_m = div_free(mom0_pad, mom1_pad)
+    A2 = (gp_x + div_m) * (1.0 / (2.0 * r))
+    ga1_x, ga1_y = grad_blocked(A1_pad)
+    F2_0 = (mu / r) * (gu_x - ur / r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
+    F2_1 = (mu / r) * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
+
+    inv_tau = 1.0 / tau
+    f_out = []
+    for q in range(9):
+        e0, e1 = float(E[q, 0]), float(E[q, 1])
+        Gq = (A1 + A2 + (e0 * F2_0 + e1 * F2_1) / CS2) * float(W_Q[q])
+        collided = fq[q] + inv_tau * (feq_n[q] - fq[q]) + Gq
+        f_out.append(jnp.where(is_obs, fq[q], collided))
+    return f_out
 
 
 def _cfg_consts(cfg) -> dict:
@@ -627,6 +672,154 @@ def _tiled_chunk(f, rho, vel, start_step, cfg_key, TH, k):
     return f, rho, vel
 
 
+# ---------------------------------------------------------------------------
+# k-step temporal blocking: one pallas call advances k fluid steps.
+#
+# Each fluid step consumes a 2-row dependency halo (streaming/SFC one
+# row, then the post-macro axisymmetric collision stencils one more),
+# so a k-step tile pass reads +-2k halo rows and runs a shrinking level
+# pyramid: level lvl = k-1..0 applies the A update (stream+SFC+macro)
+# on TH + 2(2lvl+1) rows and the B update (axisymmetric BGK) on two
+# fewer; each level's outputs are exactly the next level's padded
+# inputs (`fused_sharded._lean_tiled_step` scheme applied to the
+# two-kernel JRL step). The tip geometry is analytic per level from the
+# in-kernel step index, so nothing but f/vel/rho crosses HBM. Halo rows
+# ride in 8-row neighbour groups (vs the A/B pair's full neighbour-tile
+# fetches), so HBM traffic per step drops ~4k-fold and k <= 4.
+# ---------------------------------------------------------------------------
+
+
+def _make_fluid_k_kernel(cfg_c, TH, k, shard=False):
+    """k fused fluid steps over one TH-row tile with +-2k-row halos.
+
+    ``shard=True``: SMEM global-row-offset scalar + (12, 8, W)
+    cross-shard y-halo piece blocks (f x9 + vel x2 + rho, real rows
+    adjacent to the body) swapped in on the first/last tiles."""
+    vel_obs = cfg_c["vel_obs"]
+    inflow_h = cfg_c["inflow_h"]
+    hk = 2 * k
+
+    def kernel(*refs):
+        if shard:
+            (step_ref, off_ref, f_m, f_up, f_dn, vel_m, vel_up, vel_dn,
+             rho_m, rho_up, rho_dn, tpP, btP,
+             f_out, rho_out, vel_out) = refs
+        else:
+            (step_ref, f_m, f_up, f_dn, vel_m, vel_up, vel_dn,
+             rho_m, rho_up, rho_dn, f_out, rho_out, vel_out) = refs
+            tpP = btP = None
+        pid = pl.program_id(0)
+        t0 = pid * TH
+        first = last = None
+        if shard:
+            t0 = t0 + off_ref[0]
+            first = pid == 0
+            last = pid == pl.num_programs(0) - 1
+
+        def winp(up, mid_, dn, pi):
+            top = up[..., -hk:, :]
+            bot = dn[..., :hk, :]
+            if shard:
+                top = jnp.where(first, tpP[pi, -hk:, :], top)
+                bot = jnp.where(last, btP[pi, :hk, :], bot)
+            return jnp.concatenate([top, mid_, bot], axis=-2)
+
+        step0 = step_ref[0, 0]
+        f_cur = [winp(f_up[q], f_m[q], f_dn[q], q) for q in range(9)]
+        v0_cur = winp(vel_up[0], vel_m[0], vel_dn[0], 9)
+        v1_cur = winp(vel_up[1], vel_m[1], vel_dn[1], 10)
+        r_cur = winp(rho_up[:], rho_m[:], rho_dn[:], 11)[1:-1, :]
+
+        for lvl in range(k - 1, -1, -1):
+            ra = TH + 2 * (2 * lvl + 1)
+            t0a = t0 - (2 * lvl + 1)
+            step = step0 + float(k - 1 - lvl)
+            walks = inflow_h + step * vel_obs
+            walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
+            f1, rho1, u0, u1 = _fluid_a_update(
+                cfg_c, ra, t0a, walks, walks_int, f_cur,
+                (v0_cur, v1_cur), r_cur,
+            )
+            f_cur = _fluid_b_update(
+                cfg_c, ra - 2, t0a + 1, walks, walks_int,
+                [a[1:-1, :] for a in f1], rho1, (u0, u1),
+            )
+            v0_cur = u0[1:-1, :]
+            v1_cur = u1[1:-1, :]
+            r_cur = rho1[2:-2, :] if lvl else rho1[1:-1, :]
+
+        for q in range(9):
+            f_out[q] = f_cur[q]
+        rho_out[:] = r_cur
+        vel_out[0] = v0_cur
+        vel_out[1] = v1_cur
+
+    return kernel
+
+
+def _k_specs(H, W, TH):
+    """Mid/up/dn BlockSpecs for the k-step kernels: the mid block is the
+    full tile, the halo rows come from the adjacent 8-row GROUPS of the
+    same arrays (wrapped mod H — periodic, as `_specs`), not full
+    neighbour tiles."""
+    g = TH // 8
+    G = H // 8
+
+    def upg(i, g=g, G=G):
+        return jax.lax.rem(i * g - 1 + G, G)
+
+    def dng(i, g=g, G=G):
+        return jax.lax.rem((i + 1) * g, G)
+
+    def m2():
+        return pl.BlockSpec((TH, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def m3(c=9):
+        return pl.BlockSpec((c, TH, W), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def h2(im):
+        return pl.BlockSpec((8, W), lambda i, im=im: (im(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def h3(im, c=9):
+        return pl.BlockSpec((c, 8, W), lambda i, im=im: (0, im(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    return upg, dng, m2, m3, h2, h3
+
+
+@partial(jax.jit, static_argnames=("cfg_key", "TH", "k", "reps"))
+def _fluid_k_chunk(f, rho, vel, start_step, cfg_key, TH, k, reps):
+    """``reps`` k-step kernel passes as one XLA program."""
+    cfg_c = dict(cfg_key)
+    H, W = cfg_c["H"], cfg_c["W"]
+    n = H // TH
+    f32 = jnp.float32
+    upg, dng, m2, m3, h2, h3 = _k_specs(H, W, TH)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kern = _make_fluid_k_kernel(cfg_c, TH, k)
+
+    step = jnp.asarray(start_step, f32)
+    for _ in range(reps):
+        f, rho, vel = pl.pallas_call(
+            kern,
+            grid=(n,),
+            in_specs=[smem, m3(), h3(upg), h3(dng), m3(2), h3(upg, 2),
+                      h3(dng, 2), m2(), h2(upg), h2(dng)],
+            out_specs=[m3(), m2(), m3(2)],
+            out_shape=[
+                jax.ShapeDtypeStruct((9, H, W), f32),
+                jax.ShapeDtypeStruct((H, W), f32),
+                jax.ShapeDtypeStruct((2, H, W), f32),
+            ],
+            compiler_params=_VMEM_PARAMS,
+        )(step.reshape(1, 1), f, f, f, vel, vel, vel, rho, rho, rho)
+        step = step + float(k)
+    return f, rho, vel
+
+
 def pick_tile_rows(cfg) -> int:
     H, _ = cfg.eff_res
     for TH in (64, 32, 16, 8):
@@ -636,23 +829,35 @@ def pick_tile_rows(cfg) -> int:
 
 
 def make_tiled_fluid_runner(cfg, tile_rows: int | None = None,
-                            unroll: int = 8):
+                            unroll: int = 8, k: int | None = None):
     """Drop-in replacement for `models.jrl.make_fluid_runner` at sizes
     beyond the whole-domain fused kernel's VMEM budget. Same signature
-    (state, fields, start_step, n); dispatches ceil(n/unroll) XLA
-    programs of `unroll` fused steps each."""
+    (state, fields, start_step, n); dispatches ceil(n/(unroll*k)) XLA
+    programs. ``k`` > 1 selects the temporally-blocked kernel (k fluid
+    steps per pallas call, +-2k-row halos; k <= 4); remainder steps
+    fall back to the single-step A/B pair."""
     TH = tile_rows if tile_rows is not None else pick_tile_rows(cfg)
     cfg_key = tuple(sorted(_cfg_consts(cfg).items()))
+    kk = 1 if k is None else int(k)
+    if not 1 <= kk <= 4:
+        raise ValueError(f"k={kk} out of range (halo groups hold 2k <= 8)")
+    if kk > 1 and (TH % 8 or cfg.eff_res[0] % 8):
+        raise ValueError("k > 1 needs 8-aligned tiles and grid height")
 
     def run(state, fields, start_step, n: int):
         del fields
         f, rho, vel = state["f"], state["rho"], state["vel"]
         s = int(start_step)
         end = s + int(n)
+        while end - s >= kk and kk > 1:
+            reps = min(unroll, (end - s) // kk)
+            f, rho, vel = _fluid_k_chunk(f, rho, vel, float(s), cfg_key,
+                                         TH, kk, reps)
+            s += reps * kk
         while s < end:
-            k = min(unroll, end - s)
-            f, rho, vel = _tiled_chunk(f, rho, vel, float(s), cfg_key, TH, k)
-            s += k
+            j = min(unroll, end - s)
+            f, rho, vel = _tiled_chunk(f, rho, vel, float(s), cfg_key, TH, j)
+            s += j
         return {"f": f, "rho": rho, "vel": vel}
 
     return run

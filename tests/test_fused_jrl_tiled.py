@@ -52,6 +52,45 @@ def test_tiled_jrl_fluid_matches_unfused(shape):
 
 
 @pytest.mark.parametrize(
+    "shape,k,n",
+    [
+        # default tier: one chunk compile only (n == k; the remainder
+        # path is the already-tested _tiled_chunk) — interpret-mode
+        # compiles of the k-pyramid dominate this test's cost
+        ("45degree", 2, 2),
+        # slow tier: n spans a tip-row advance and is NOT a multiple of
+        # k, so the k-chunk re-specialization + remainder paths run too
+        pytest.param("cylinder", 4, 11, marks=pytest.mark.slow),
+        pytest.param("45degree", 4, 11, marks=pytest.mark.slow),
+    ],
+)
+def test_kblocked_jrl_fluid_matches_unfused(shape, k, n):
+    """Temporally-blocked fluid kernel (k steps per pallas call,
+    +-2k-row halos, shrinking A/B level pyramid) vs the unfused jnp
+    step."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled as tiled
+
+    cfg = jrl.JRLFluidConfig(
+        res=(48, 32), Re=4.0, vel_obs_real=0.2848,
+        gravity_strength_real=-9.8, shape=shape,
+    )
+    ref = jax.tree.map(np.asarray, _run_unfused(cfg, n))
+
+    state, fields = jrl.fluid_init(cfg)
+    run = tiled.make_tiled_fluid_runner(cfg, tile_rows=8, unroll=2, k=k)
+    with pltpu.force_tpu_interpret_mode():
+        out = run(state, fields, jnp.asarray(0, jnp.int32), n)
+        out = jax.tree.map(np.asarray, out)
+
+    for key, tol in (("f", 2e-5), ("rho", 2e-5), ("vel", 2e-4)):
+        np.testing.assert_allclose(
+            out[key], ref[key], rtol=tol, atol=tol, err_msg=f"{shape}:{key}"
+        )
+
+
+@pytest.mark.parametrize(
     "shape", ["45degree", pytest.param("cylinder", marks=pytest.mark.slow)]
 )
 def test_tiled_c_balance_matches_unfused(shape):
