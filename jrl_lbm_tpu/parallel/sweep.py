@@ -40,8 +40,19 @@ def pe_sweep_approach(
     states,  # per-lane {"C": [L,H,W], "h": [L,9,H,W]} (e.g. balance results)
     fields,  # shared fields incl. "vel_field"
     chunk: int = 256,
+    lane_devices=None,  # shard lanes across these devices (cross-chip DP)
+    max_steps: int | None = None,  # smoke/dryrun cap on the step count
 ) -> SweepResult:
-    """Run the approach phase for all Pe lanes simultaneously."""
+    """Run the approach phase for all Pe lanes simultaneously.
+
+    ``lane_devices``: a sequence of JAX devices to shard the lane axis
+    over (the cross-chip data-parallel form of the reference's
+    one-process-per-Pe sweep, `demo/batch_Pe.py:47-52`). Lanes are
+    padded to a multiple of the device count with frozen copies of lane
+    0 (total_steps 0, so they never update or dump), the lane axis gets
+    a `NamedSharding`, and — the lanes being fully independent — XLA
+    partitions the vmapped step with zero collectives. Record parity
+    with the single-device path is exact (tests/test_sweep.py)."""
     L = len(Pes)
     cfgs = [dataclasses.replace(cfg_base, Pe=float(p)) for p in Pes]
     v_l = np.asarray([c.vel_obs_conv for c in cfgs], np.float32)
@@ -49,7 +60,38 @@ def pe_sweep_approach(
     total_l = np.asarray([c.total_steps for c in cfgs], np.int32)
     dtcr_l = np.asarray([c.dt_conv_real for c in cfgs], np.float32)
     max_total = int(total_l.max())
+    if max_steps is not None:
+        max_total = min(max_total, int(max_steps))
     max_dumps = max(len(jrl.c_dump_steps(c)) for c in cfgs) + 1
+
+    lane_sharding = None
+    if lane_devices is not None:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        D = len(lane_devices)
+        pad = (-L) % D
+        if pad:
+            v_l = np.concatenate([v_l, np.repeat(v_l[:1], pad)])
+            tau_l = np.concatenate([tau_l, np.repeat(tau_l[:1], pad)])
+            dtcr_l = np.concatenate([dtcr_l, np.repeat(dtcr_l[:1], pad)])
+            total_l = np.concatenate(
+                [total_l, np.zeros((pad,), np.int32)]
+            )
+            states = {
+                k: jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+                )
+                for k, a in states.items()
+            }
+        lane_mesh = Mesh(np.asarray(lane_devices), ("lanes",))
+        lane_sharding = NamedSharding(lane_mesh, P("lanes"))
+        rep = NamedSharding(lane_mesh, P())
+        states = jax.device_put(states, lane_sharding)
+        fields = {
+            k: jax.device_put(v, rep) if hasattr(v, "shape") else v
+            for k, v in fields.items()
+        }
+    Lp = len(v_l)
 
     step_fn = jrl.make_approach_step(cfg_base, parametrized=True)
     shared = {k: fields[k] for k in ("base_flags", "mesh", "vel_field")}
@@ -98,40 +140,43 @@ def pe_sweep_approach(
         out_axes=(0, 0, 0, 0),
     )
 
+    lane_arrs = tuple(
+        jnp.asarray(a) for a in (v_l, tau_l, total_l, dtcr_l)
+    )
+    if lane_sharding is not None:
+        lane_arrs = jax.device_put(lane_arrs, lane_sharding)
+
     @partial(jax.jit, static_argnames=("n",))
-    def run_chunk(carry, start, n):
+    def run_chunk(carry, start, n, v, tau, total, dtcr):
         def body(i, c):
-            return vmapped(
-                c,
-                start + i,
-                jnp.asarray(v_l),
-                jnp.asarray(tau_l),
-                jnp.asarray(total_l),
-                jnp.asarray(dtcr_l),
-            )
+            return vmapped(c, start + i, v, tau, total, dtcr)
 
         return jax.lax.fori_loop(0, n, body, carry)
 
     acc0 = {
-        "s_in": jnp.zeros((L,), jnp.float32),
-        "s_cur": jnp.zeros((L,), jnp.float32),
-        "cnt": jnp.zeros((L,), jnp.float32),
+        "s_in": jnp.zeros((Lp,), jnp.float32),
+        "s_cur": jnp.zeros((Lp,), jnp.float32),
+        "cnt": jnp.zeros((Lp,), jnp.float32),
     }
-    records0 = jnp.zeros((L, max_dumps, 5), jnp.float32)
-    dump0 = jnp.zeros((L,), jnp.int32)
+    records0 = jnp.zeros((Lp, max_dumps, 5), jnp.float32)
+    dump0 = jnp.zeros((Lp,), jnp.int32)
+    if lane_sharding is not None:
+        acc0, records0, dump0 = jax.device_put(
+            (acc0, records0, dump0), lane_sharding
+        )
     carry = (states, acc0, records0, dump0)
 
     done = 0
     while done < max_total:
         n = min(chunk, max_total - done)
-        carry = run_chunk(carry, jnp.asarray(done, jnp.int32), n)
+        carry = run_chunk(carry, jnp.asarray(done, jnp.int32), n, *lane_arrs)
         done += n
 
     _, _, records, dump_idx = carry
     return SweepResult(
         Pes=list(Pes),
-        records=np.asarray(records),
-        n_dumps=np.asarray(dump_idx),
+        records=np.asarray(records)[:L],
+        n_dumps=np.asarray(dump_idx)[:L],
     )
 
 
