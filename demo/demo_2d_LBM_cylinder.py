@@ -24,9 +24,10 @@ def main(
     total_steps: int = 50000,
     dt: float = 1.0,
     dx: float = 1.0,
+    D: float = 20.0,
     fused: bool = True,
 ):
-    cfg = cyl.CylinderConfig(res=tuple(res), dt=dt, dx=dx)
+    cfg = cyl.CylinderConfig(res=tuple(res), dt=dt, dx=dx, D=D)
     print("Re = {}, tau = {}".format(cfg.Re, cfg.tau))
     state, fields = cyl.init(cfg)
 
@@ -75,6 +76,9 @@ if __name__ == "__main__":
     parser.add_argument("--total_steps", type=int, default=50000)
     parser.add_argument("--dt", type=float, default=1.0)
     parser.add_argument("--dx", type=float, default=1.0)
+    parser.add_argument(
+        "--D", type=float, default=20.0,
+        help="cylinder diameter in cells (center stays at (10D, 10D))")
     parser.add_argument("--no-fused", dest="fused", action="store_false")
     parser.set_defaults(fused=True)
     opt = vars(parser.parse_args())

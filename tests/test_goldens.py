@@ -39,9 +39,9 @@ def _pixel_sha(path):
     ).hexdigest()
 
 
-def _run_demo(script, out_dir, monkeypatch):
+def _run_demo(script, args, out_dir, monkeypatch):
     monkeypatch.setenv("JRL_DEMO_OUT", str(out_dir))
-    monkeypatch.setattr(sys, "argv", [script])
+    monkeypatch.setattr(sys, "argv", [script] + list(args))
     monkeypatch.syspath_prepend(os.path.join(ROOT, "demo"))
     runpy.run_path(os.path.join(ROOT, "demo", script), run_name="__main__")
 
@@ -49,6 +49,7 @@ def _run_demo(script, out_dir, monkeypatch):
 @pytest.mark.parametrize("name,script", [
     ("2d_LBM", "demo_2d_LBM.py"),
     ("2d_LBM_KBC", "demo_2d_LBM_KBC.py"),
+    ("2d_LBM_cylinder", "demo_2d_LBM_cylinder.py"),
 ])
 def test_demo_matches_golden(name, script, tmp_path, monkeypatch):
     sig_path = os.path.join(GOLD, name, "signatures.json")
@@ -58,8 +59,8 @@ def test_demo_matches_golden(name, script, tmp_path, monkeypatch):
         f"{name} goldens were generated on {golden['backend']}; the "
         "bit-exact gate needs CPU goldens (run_goldens.py --cpu)")
 
-    _run_demo(script, tmp_path, monkeypatch)
-    frame_dir = tmp_path / "demo_data_LBM_2d"
+    _run_demo(script, golden.get("args", []), tmp_path, monkeypatch)
+    frame_dir = tmp_path / golden.get("frame_dir", "demo_data_LBM_2d")
     frames = sorted(f for f in os.listdir(frame_dir) if f.endswith(".png"))
     assert len(frames) == golden["n_frames"], (len(frames), golden["n_frames"])
 

@@ -24,6 +24,17 @@ import os
 import shutil
 import sys
 
+# test-tier goldens must be generated under the SAME virtual-device
+# topology as tests/conftest.py: 8 virtual CPU devices change XLA's
+# intra-op partitioning and thus reduction order, so hashes from a
+# plain single-device run do NOT match the pytest environment.
+if "--cpu" in sys.argv:
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,8 +57,14 @@ DEMOS = {
                ["011.png", "301.png", "631.png", "1001.png"]),
     "2d_LBM_KBC": ("demo_2d_LBM_KBC.py", [], "demo_data_LBM_2d",
                    ["011.png", "301.png", "631.png", "1001.png"]),
-    "2d_LBM_cylinder": ("demo_2d_LBM_cylinder.py", [], "demo_data_LBM_2d_cylinder",
-                        []),  # frames picked below (dump cadence differs)
+    # reduced config (reference default is 800x400 x 50k steps — hours on
+    # CPU): 400x200 channel, D=10 keeps the (10D, 10D) center in-domain,
+    # 2000 steps = 2 frames at the demo's reference dump cadence
+    "2d_LBM_cylinder": (
+        "demo_2d_LBM_cylinder.py",
+        ["--res", "400", "200", "--total_steps", "2000", "--D", "10"],
+        "demo_data_LBM_cylinder_2d",
+        []),  # frames picked below (dump cadence differs)
 }
 
 
@@ -81,7 +98,8 @@ def run_one(name):
     with open(os.path.join(dst, "signatures.json"), "w") as fo:
         json.dump(
             {"backend": jax.default_backend(), "n_frames": len(frames),
-             "frames": sigs}, fo, indent=1, sort_keys=True)
+             "args": args, "frame_dir": frame_dir, "frames": sigs},
+            fo, indent=1, sort_keys=True)
     if not keep:  # default: first/middle/last
         keep = [frames[0], frames[len(frames) // 2], frames[-1]]
     for f in keep:
