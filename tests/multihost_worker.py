@@ -57,4 +57,31 @@ for key in ("f", "rho", "vel"):
             rtol=1e-6, atol=1e-6, err_msg=f"{key} shard {shard.index}",
         )
 
+# the FUSED sharded kernel across the same process-spanning mesh: its
+# ppermute y halo (and the x-halo columns when nx > 1) crosses the DCN
+# (cross-process) boundary — the production multi-chip path routes
+# through this kernel family (ops/pallas/fused_sharded.py). OBSTACLE
+# cells are masked like every fused equivalence test (f/rho there are
+# dead storage the fused kernels keep differently, test_fused.py:25-29).
+from jrl_lbm_tpu.ops.pallas import fused_sharded as fsh  # noqa: E402
+from jrl_lbm_tpu.utils.types import CellType  # noqa: E402
+
+fluid = np.asarray(fields["flags"]) != int(CellType.OBSTACLE)
+fstate = mh.lift(state, st_sh)
+fused_step = jax.jit(
+    fsh.make_sharded_fused_cylinder_step(cfg, mesh, interpret=True)
+)
+for _ in range(n_steps):
+    fstate = fused_step(fstate, gfields)
+
+for key in ("f", "rho", "vel"):
+    expect = np.asarray(ref[key])
+    fmask = np.broadcast_to(fluid, expect.shape)
+    for shard in fstate[key].addressable_shards:
+        m = fmask[shard.index]
+        np.testing.assert_allclose(
+            np.asarray(shard.data)[m], expect[shard.index][m],
+            rtol=1e-5, atol=1e-5, err_msg=f"fused {key} shard {shard.index}",
+        )
+
 print(f"proc {pid} OK", flush=True)
