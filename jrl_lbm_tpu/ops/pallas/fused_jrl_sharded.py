@@ -1,14 +1,20 @@
-"""Sharded row-tiled fused JRL kernels: shard_map × ppermute y-halos.
+"""Sharded row-tiled fused JRL kernels: shard_map × ppermute halos.
 
 Multi-chip JRL at production refine levels (refine >= 8 per chip): the
 row-tiled fused kernels of `fused_jrl_tiled.py` run on each shard of a
-(ny, 1) row mesh, with the cross-shard 1-row y halos travelling as
+(ny, nx) mesh, with the cross-shard 1-row y halos travelling as
 O(surface) ppermute pieces that the kernels swap in on their first/last
 tiles (the `fused_sharded._lean_tiled_step` pattern). Row meshes are
 the natural decomposition — JRL domains are H = 2W tall
 (`/root/reference/demo/demo_2d_LBM_JRL_fluid_cylinder.py:283`), and the
 x=0 symmetry axis plus the x=W-1 outflow wall leave nothing periodic to
-split in x.
+split in x — but nx > 1 (2D) meshes are supported through the
+EXTENDED-WINDOW mode (the `fused_sharded` ``x_ext`` scheme composed
+with the JRL kernels): each shard ppermutes its ``x_ext``-wide edge
+lane blocks to its x neighbours, the kernels compute window-parametric
+in x on width w + 2*x_ext (`fused_jrl_tiled` ``xw`` mode, all x masks
+on global coordinates from the shard's column offset), and the exact
+central body lanes are sliced into the outputs.
 
 Three runner families, drop-in sharded twins of the `fused_jrl_tiled`
 ones (same (state, fields, ...) contracts, global arrays in/out):
@@ -66,88 +72,181 @@ def _pick_local_tile_rows(h: int) -> int:
     raise ValueError(f"shard height {h} not tileable (need h % 8 == 0)")
 
 
-def _step_a(off, step_arr, f, vel, rho, tpA, btA, cfg_c, TH, h, interpret):
-    W = cfg_c["W"]
+def _xblocks(x, x_ext, interpret=False):
+    """y-EXTENDED ``(planes, h+2, x_ext)`` x-neighbour edge blocks of a
+    ``(planes, h, w)`` shard block for the 2D-mesh extended-window mode
+    (the `fused_sharded` ``xblocks`` pattern at 1-row y extension):
+    x-ppermute the ``x_ext``-wide edge lane blocks, then y-ppermute
+    their end rows (two-phase — the diagonal corner data rides the
+    second hop). JRL x boundaries are non-periodic (x=0 symmetry axis,
+    x=W-1 outflow wall), but the x-ring wrap's garbage at the outer
+    shards is never read: the at_x0/at_xW masks override every pull
+    that would touch it (`fused_jrl_tiled._TileCtx`)."""
+    from jrl_lbm_tpu.ops.pallas.fused_sharded import _edge_blocks
+    from jrl_lbm_tpu.parallel.halo import _ring_perm
+
+    ny = jax.lax.axis_size(AXIS_Y)
+    nx = jax.lax.axis_size(AXIS_X)
+    xl, xr = _edge_blocks(x, x_ext, interpret=interpret)
+    lb = jax.lax.ppermute(xr, AXIS_X, _ring_perm(nx, 1))
+    rb = jax.lax.ppermute(xl, AXIS_X, _ring_perm(nx, -1))
+    pyd, pyu = _ring_perm(ny, 1), _ring_perm(ny, -1)
+
+    def yext(b):
+        return jnp.concatenate(
+            [jax.lax.ppermute(b[..., -1:, :], AXIS_Y, pyd), b,
+             jax.lax.ppermute(b[..., :1, :], AXIS_Y, pyu)], axis=-2)
+
+    return yext(lb), yext(rb)
+
+
+def _ext_windows(blk, TH):
+    """Per-tile ``(TH+2)``-row windows of a ``(planes, h+2, x_ext)``
+    extended block, stacked to ``(n_t, planes, TH+2, x_ext)`` (the
+    windows overlap by 2 rows, which BlockSpec strides cannot express;
+    the blocks are O(h * x_ext) so the gather is negligible)."""
+    h = blk.shape[-2] - 2
+    n_t = h // TH
+    return jnp.stack(
+        [jax.lax.slice_in_dim(blk, i * TH, i * TH + TH + 2, axis=-2)
+         for i in range(n_t)], axis=0)
+
+
+def _xw_of(w: int, nx: int, x_ext=None):
+    """Extension width for an nx-wide mesh: None (off) when nx == 1,
+    else >= 2 lanes per side (>= 2 so the innermost extension lane's
+    in-kernel outputs are exact — the approach kernel's flat flux form
+    reads C at body_last+1), default 8 (= the k-blocking halo depth the
+    cylinder path ships; full lane-group alignment is not worth 16x the
+    ICI bytes at k=1)."""
+    if nx == 1:
+        return None
+    xe = 8 if x_ext is None else int(x_ext)
+    xe = min(xe, w)
+    if xe < 2:
+        raise ValueError(f"shard width {w} too narrow for x_ext >= 2")
+    return (xe, w)
+
+
+def _ext_spec(planes, TH, x_ext):
+    return pl.BlockSpec((1, planes, TH + 2, x_ext),
+                        lambda i: (i, 0, 0, 0))
+
+
+def _step_a(off, step_arr, f, vel, rho, tpA, btA, cfg_c, TH, h, interpret,
+            xw=None, lwA=None, rwA=None):
+    w = xw[1] if xw else cfg_c["W"]
     n = h // TH
-    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    _, up, dn, b2, b3 = T._specs(h, w, TH)
     mid = lambda i: i  # noqa: E731
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    pb = pl.BlockSpec((11, 8, W), lambda i: (0, 0, 0))
-    ka = T._make_kernel_a(cfg_c, TH, lambda i: i, shard=True)
+    pb = pl.BlockSpec((11, 8, w), lambda i: (0, 0, 0))
+    ka = T._make_kernel_a(cfg_c, TH, lambda i: i, shard=True, xw=xw)
+    specs = [smem, smem, b3(up), b3(mid), b3(dn), b3(up, 2),
+             b3(mid, 2), b3(dn, 2), b2(mid), pb, pb]
+    args = [step_arr, off, f, f, f, vel, vel, vel, rho, tpA, btA]
+    if xw:
+        specs += [_ext_spec(11, TH, xw[0])] * 2
+        args += [lwA, rwA]
     return pl.pallas_call(
         ka,
         grid=(n,),
-        in_specs=[smem, smem, b3(up), b3(mid), b3(dn), b3(up, 2),
-                  b3(mid, 2), b3(dn, 2), b2(mid), pb, pb],
+        in_specs=specs,
         out_specs=[b3(mid), b2(mid), b3(mid, 2)],
         out_shape=[
-            jax.ShapeDtypeStruct((9, h, W), f32),
-            jax.ShapeDtypeStruct((h, W), f32),
-            jax.ShapeDtypeStruct((2, h, W), f32),
+            jax.ShapeDtypeStruct((9, h, w), f32),
+            jax.ShapeDtypeStruct((h, w), f32),
+            jax.ShapeDtypeStruct((2, h, w), f32),
         ],
         compiler_params=T._VMEM_PARAMS,
         interpret=interpret,
-    )(step_arr, off, f, f, f, vel, vel, vel, rho, tpA, btA)
+    )(*args)
 
 
 def _step_b(off, step_arr, f1, rho1, vel1, tpB, btB, cfg_c, TH, h,
-            interpret):
-    W = cfg_c["W"]
+            interpret, xw=None, lwB=None, rwB=None):
+    w = xw[1] if xw else cfg_c["W"]
     n = h // TH
-    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    _, up, dn, b2, b3 = T._specs(h, w, TH)
     mid = lambda i: i  # noqa: E731
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    pb = pl.BlockSpec((3, 8, W), lambda i: (0, 0, 0))
-    kb = T._make_kernel_b(cfg_c, TH, lambda i: i, shard=True)
+    pb = pl.BlockSpec((3, 8, w), lambda i: (0, 0, 0))
+    kb = T._make_kernel_b(cfg_c, TH, lambda i: i, shard=True, xw=xw)
+    specs = [smem, smem, b3(mid), b2(up), b2(mid), b2(dn), b3(up, 2),
+             b3(mid, 2), b3(dn, 2), pb, pb]
+    args = [step_arr, off, f1, rho1, rho1, rho1, vel1, vel1, vel1,
+            tpB, btB]
+    if xw:
+        specs += [_ext_spec(3, TH, xw[0])] * 2
+        args += [lwB, rwB]
     return pl.pallas_call(
         kb,
         grid=(n,),
-        in_specs=[smem, smem, b3(mid), b2(up), b2(mid), b2(dn), b3(up, 2),
-                  b3(mid, 2), b3(dn, 2), pb, pb],
+        in_specs=specs,
         out_specs=b3(mid),
-        out_shape=jax.ShapeDtypeStruct((9, h, W), f32),
+        out_shape=jax.ShapeDtypeStruct((9, h, w), f32),
         compiler_params=T._VMEM_PARAMS,
         interpret=interpret,
-    )(step_arr, off, f1, rho1, rho1, rho1, vel1, vel1, vel1, tpB, btB)
+    )(*args)
 
 
 def make_sharded_tiled_fluid_runner(cfg, mesh, tile_rows=None, unroll=8,
-                                    interpret=False):
+                                    interpret=False, x_ext=None):
     """Sharded twin of `fused_jrl_tiled.make_tiled_fluid_runner`: same
     (state, fields, start_step, n) contract with GLOBAL arrays (jit +
-    shard_map partition them onto the mesh)."""
+    shard_map partition them onto the mesh). 2D (nx > 1) meshes run the
+    extended-window mode: each kernel call also receives the x
+    neighbours' ``x_ext``-wide edge blocks (ppermute) and computes on
+    width w + 2*x_ext, slicing the exact body lanes into the outputs."""
     ny, nx = mesh.devices.shape
-    if nx != 1:
-        raise ValueError("sharded JRL runners need a (ny, 1) row mesh")
     H, W = cfg.eff_res
     assert H % ny == 0, f"H={H} not divisible by ny={ny}"
-    h = H // ny
+    assert W % nx == 0, f"W={W} not divisible by nx={nx}"
+    h, w = H // ny, W // nx
+    xw = _xw_of(w, nx, x_ext)
     TH = tile_rows if tile_rows is not None else _pick_local_tile_rows(h)
     assert h % TH == 0
     cfg_c = T._cfg_consts(cfg)
 
     def chunk_local(f, rho, vel, step0, k):
         row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
-        off = row0.reshape(1)
+        if xw:
+            col0 = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * w
+            off = jnp.stack([row0, col0])
+        else:
+            off = row0.reshape(1)
         for j in range(k):
             step_arr = (step0 + float(j)).astype(f32).reshape(1, 1)
             tpF, btF = _pieces(f)
             tpV, btV = _pieces(vel)
             tpA = jnp.concatenate([tpF, tpV], axis=0)
             btA = jnp.concatenate([btF, btV], axis=0)
+            lwA = rwA = None
+            if xw:
+                lbF, rbF = _xblocks(f, xw[0], interpret)
+                lbV, rbV = _xblocks(vel, xw[0], interpret)
+                lwA = _ext_windows(jnp.concatenate([lbF, lbV], 0), TH)
+                rwA = _ext_windows(jnp.concatenate([rbF, rbV], 0), TH)
             f1, rho1, vel1 = _step_a(off, step_arr, f, vel, rho, tpA, btA,
-                                     cfg_c, TH, h, interpret)
+                                     cfg_c, TH, h, interpret,
+                                     xw, lwA, rwA)
             tpR, btR = _pieces(rho1[None])
             tpV1, btV1 = _pieces(vel1)
             tpB = jnp.concatenate([tpR, tpV1], axis=0)
             btB = jnp.concatenate([btR, btV1], axis=0)
+            lwB = rwB = None
+            if xw:
+                lbR, rbR = _xblocks(rho1[None], xw[0], interpret)
+                lbV1, rbV1 = _xblocks(vel1, xw[0], interpret)
+                lwB = _ext_windows(jnp.concatenate([lbR, lbV1], 0), TH)
+                rwB = _ext_windows(jnp.concatenate([rbR, rbV1], 0), TH)
             f = _step_b(off, step_arr, f1, rho1, vel1, tpB, btB, cfg_c,
-                        TH, h, interpret)
+                        TH, h, interpret, xw, lwB, rwB)
             rho, vel = rho1, vel1
         return f, rho, vel
 
-    s3 = P(None, AXIS_Y, None)
-    s2 = P(AXIS_Y, None)
+    s3 = P(None, AXIS_Y, AXIS_X)
+    s2 = P(AXIS_Y, AXIS_X)
     chunks = {}
 
     def get_chunk(k):
@@ -176,56 +275,80 @@ def make_sharded_tiled_fluid_runner(cfg, mesh, tile_rows=None, unroll=8,
 
 
 def _step_balance(off, flags, h_arr, C, tpFl, btFl, tpH, btH, cfg_c, TH,
-                  h, interpret):
-    W = cfg_c["W"]
+                  h, interpret, xw=None, lwFl=None, rwFl=None, lwH=None,
+                  rwH=None):
+    w = xw[1] if xw else cfg_c["W"]
     n = h // TH
-    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    _, up, dn, b2, b3 = T._specs(h, w, TH)
     mid = lambda i: i  # noqa: E731
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    pbf = pl.BlockSpec((1, 8, W), lambda i: (0, 0, 0))
-    pbh = pl.BlockSpec((9, 8, W), lambda i: (0, 0, 0))
-    k = T._make_c_balance_kernel(cfg_c, TH, shard=True)
+    pbf = pl.BlockSpec((1, 8, w), lambda i: (0, 0, 0))
+    pbh = pl.BlockSpec((9, 8, w), lambda i: (0, 0, 0))
+    k = T._make_c_balance_kernel(cfg_c, TH, shard=True, xw=xw)
+    specs = [smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid), b3(dn),
+             b2(mid), pbf, pbf, pbh, pbh]
+    args = [off, flags, flags, flags, h_arr, h_arr, h_arr, C, tpFl, btFl,
+            tpH, btH]
+    if xw:
+        specs += [_ext_spec(1, TH, xw[0])] * 2 + [_ext_spec(9, TH, xw[0])] * 2
+        args += [lwFl, rwFl, lwH, rwH]
     return pl.pallas_call(
         k,
         grid=(n,),
-        in_specs=[smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid), b3(dn),
-                  b2(mid), pbf, pbf, pbh, pbh],
+        in_specs=specs,
         out_specs=[b3(mid), b2(mid)],
         out_shape=[
-            jax.ShapeDtypeStruct((9, h, W), f32),
-            jax.ShapeDtypeStruct((h, W), f32),
+            jax.ShapeDtypeStruct((9, h, w), f32),
+            jax.ShapeDtypeStruct((h, w), f32),
         ],
         compiler_params=T._VMEM_PARAMS,
         interpret=interpret,
-    )(off, flags, flags, flags, h_arr, h_arr, h_arr, C, tpFl, btFl,
-      tpH, btH)
+    )(*args)
 
 
 def make_sharded_tiled_balance_runner(cfg, flags, mesh, tile_rows=None,
-                                      unroll=8, interpret=False):
-    """Sharded twin of `fused_jrl_tiled.make_tiled_balance_runner`."""
+                                      unroll=8, interpret=False,
+                                      x_ext=None):
+    """Sharded twin of `fused_jrl_tiled.make_tiled_balance_runner`.
+    2D (nx > 1) meshes run the extended-window mode (see
+    `make_sharded_tiled_fluid_runner`)."""
     ny, nx = mesh.devices.shape
-    if nx != 1:
-        raise ValueError("sharded JRL runners need a (ny, 1) row mesh")
     H, W = cfg.eff_res
     assert H % ny == 0
-    h = H // ny
+    assert W % nx == 0
+    h, w = H // ny, W // nx
+    xw = _xw_of(w, nx, x_ext)
     TH = tile_rows if tile_rows is not None else _pick_local_tile_rows(h)
     assert h % TH == 0
     cfg_c = T._c_cfg_consts(cfg)
 
     def chunk_local(h_arr, C, fl, k):
         row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
-        off = row0.reshape(1)
+        if xw:
+            col0 = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * w
+            off = jnp.stack([row0, col0])
+        else:
+            off = row0.reshape(1)
         tpFl, btFl = _pieces(fl[None])  # flags are fixed: hoisted
+        lwFl = rwFl = None
+        if xw:
+            lbFl, rbFl = _xblocks(fl[None], xw[0], interpret)
+            lwFl = _ext_windows(lbFl, TH)
+            rwFl = _ext_windows(rbFl, TH)
         for _ in range(k):
             tpH, btH = _pieces(h_arr)
+            lwH = rwH = None
+            if xw:
+                lbH, rbH = _xblocks(h_arr, xw[0], interpret)
+                lwH = _ext_windows(lbH, TH)
+                rwH = _ext_windows(rbH, TH)
             h_arr, C = _step_balance(off, fl, h_arr, C, tpFl, btFl, tpH,
-                                     btH, cfg_c, TH, h, interpret)
+                                     btH, cfg_c, TH, h, interpret,
+                                     xw, lwFl, rwFl, lwH, rwH)
         return h_arr, C
 
-    s3 = P(None, AXIS_Y, None)
-    s2 = P(AXIS_Y, None)
+    s3 = P(None, AXIS_Y, AXIS_X)
+    s2 = P(AXIS_Y, AXIS_X)
     chunks = {}
 
     def get_chunk(k):
@@ -254,37 +377,43 @@ def make_sharded_tiled_balance_runner(cfg, flags, mesh, tile_rows=None,
 
 
 def _step_approach(off, step_arr, base_flags, h_arr, C, vel, tpFl, btFl,
-                   tpH, btH, cfg_c, TH, h, interpret):
-    W = cfg_c["W"]
+                   tpH, btH, cfg_c, TH, h, interpret, xw=None, lwFl=None,
+                   rwFl=None, lwH=None, rwH=None):
+    w = xw[1] if xw else cfg_c["W"]
     n = h // TH
-    _, up, dn, b2, b3 = T._specs(h, W, TH)
+    _, up, dn, b2, b3 = T._specs(h, w, TH)
     mid = lambda i: i  # noqa: E731
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    pbf = pl.BlockSpec((1, 8, W), lambda i: (0, 0, 0))
-    pbh = pl.BlockSpec((9, 8, W), lambda i: (0, 0, 0))
+    pbf = pl.BlockSpec((1, 8, w), lambda i: (0, 0, 0))
+    pbh = pl.BlockSpec((9, 8, w), lambda i: (0, 0, 0))
     kacc = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
-    k = T._make_c_approach_kernel(cfg_c, TH, shard=True)
+    k = T._make_c_approach_kernel(cfg_c, TH, shard=True, xw=xw)
+    specs = [smem, smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid),
+             b3(dn), b2(mid), b3(mid, 2), pbf, pbf, pbh, pbh]
+    args = [step_arr, off, base_flags, base_flags, base_flags, h_arr,
+            h_arr, h_arr, C, vel, tpFl, btFl, tpH, btH]
+    if xw:
+        specs += [_ext_spec(1, TH, xw[0])] * 2 + [_ext_spec(9, TH, xw[0])] * 2
+        args += [lwFl, rwFl, lwH, rwH]
     return pl.pallas_call(
         k,
         grid=(n,),
-        in_specs=[smem, smem, b2(up), b2(mid), b2(dn), b3(up), b3(mid),
-                  b3(dn), b2(mid), b3(mid, 2), pbf, pbf, pbh, pbh],
+        in_specs=specs,
         out_specs=[b3(mid), b2(mid), kacc],
         out_shape=[
-            jax.ShapeDtypeStruct((9, h, W), f32),
-            jax.ShapeDtypeStruct((h, W), f32),
+            jax.ShapeDtypeStruct((9, h, w), f32),
+            jax.ShapeDtypeStruct((h, w), f32),
             jax.ShapeDtypeStruct((n, 8, 128), f32),
         ],
         compiler_params=T._VMEM_PARAMS,
         interpret=interpret,
-    )(step_arr, off, base_flags, base_flags, base_flags, h_arr, h_arr,
-      h_arr, C, vel, tpFl, btFl, tpH, btH)
+    )(*args)
 
 
 def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
                                        tile_rows=None, unroll=8,
-                                       interpret=False):
+                                       interpret=False, x_ext=None):
     """Sharded twin of `fused_jrl_tiled.make_tiled_approach_runner`:
     same (state, fields, start_step, n) -> (state, acc) contract.
 
@@ -296,11 +425,11 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
     single-row sum owned by exactly one tile) and are reduced with one
     tiny `psum` per step."""
     ny, nx = mesh.devices.shape
-    if nx != 1:
-        raise ValueError("sharded JRL runners need a (ny, 1) row mesh")
     H, W = cfg.eff_res
     assert H % ny == 0
-    h = H // ny
+    assert W % nx == 0
+    h, w = H // ny, W // nx
+    xw = _xw_of(w, nx, x_ext)
     TH = tile_rows if tile_rows is not None else _pick_local_tile_rows(h)
     assert h % TH == 0
     cfg_c = T._c_cfg_consts(cfg)
@@ -310,8 +439,17 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
 
     def chunk_local(h_arr, C, base_flags, fr, step0, acc0, k):
         row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
-        off = row0.reshape(1)
+        if xw:
+            col0 = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * w
+            off = jnp.stack([row0, col0])
+        else:
+            off = row0.reshape(1)
         tpFl, btFl = _pieces(base_flags[None])
+        lwFl = rwFl = None
+        if xw:
+            lbFl, rbFl = _xblocks(base_flags[None], xw[0], interpret)
+            lwFl = _ext_windows(lbFl, TH)
+            rwFl = _ext_windows(rbFl, TH)
         infl, curr, cnt = acc0[0], acc0[1], acc0[4]
         acc_sum = last = None
 
@@ -336,10 +474,16 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
                             v0 * (1.0 - t) + v1 * t, v0)
 
             tpH, btH = _pieces(h_arr)
+            lwH = rwH = None
+            if xw:
+                lbH, rbH = _xblocks(h_arr, xw[0], interpret)
+                lwH = _ext_windows(lbH, TH)
+                rwH = _ext_windows(rbH, TH)
             h_arr, C, acc = _step_approach(off, step_arr, base_flags,
                                            h_arr, C, vel, tpFl, btFl,
                                            tpH, btH, cfg_c, TH, h,
-                                           interpret)
+                                           interpret, xw, lwFl, rwFl,
+                                           lwH, rwH)
             # defer the tile/shard reductions: the per-tile partial-sum
             # planes are tiny ((n, 8, 128)), so the inflow/current
             # accumulation over the chunk is an elementwise add per step
@@ -359,9 +503,9 @@ def make_sharded_tiled_approach_runner(cfg, vel_field, mesh,
             [infl + part[0], curr + part[1], part[2], part[3], cnt]
         )
 
-    s3 = P(None, AXIS_Y, None)
-    s2 = P(AXIS_Y, None)
-    s4 = P(None, None, AXIS_Y, None)
+    s3 = P(None, AXIS_Y, AXIS_X)
+    s2 = P(AXIS_Y, AXIS_X)
+    s4 = P(None, None, AXIS_Y, AXIS_X)
     chunks = {}
 
     def get_chunk(k):

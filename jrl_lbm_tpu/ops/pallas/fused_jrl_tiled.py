@@ -178,7 +178,7 @@ def _geometry(cfg_c, gy, gx, walks, walks_int):
 
 
 def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
-                    rho_mid):
+                    rho_mid, gx0=0, wf=None):
     """Streaming + solid-fluid coupling + macro on a ``rows``-row window.
 
     Window-parametric body shared by the single-step kernel A and the
@@ -188,26 +188,38 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     (outer temporal-blocking levels) stay exact. ``f_pad`` is a list of
     nine (rows+2, W) planes, ``vel_pad`` a pair, ``rho_mid`` (rows, W).
     Returns (f_new list, rho_n, un0, un1) on the ``rows`` extent.
+
+    ``gx0``/``wf`` window-parametrize the x axis for 2D (nx > 1) domain
+    decomposition (fused_jrl_sharded extended-window mode): the planes
+    are ``wf`` lanes wide and lane 0 sits at global column ``gx0`` (a
+    traced scalar). All x masks compare gx = gx0 + lane against the
+    GLOBAL width; x rolls wrap within the window, which corrupts only
+    the outermost extension lane per step — exact for the central body
+    lanes the caller slices out (and for gx0=0, wf=W this is the
+    original full-width behavior, rolls wrapping the real x edges whose
+    lanes the at_x0/at_xW masks override).
     Reference stack: `propagation.cu` -> `solid_fluid_coupling.cu` ->
     macro moments (`demo_2d_LBM_JRL_fluid_*.py:201-236`)."""
     H, W = cfg_c["H"], cfg_c["W"]
+    if wf is None:
+        wf = W
     tau = cfg_c["tau"]
     vel_obs = cfg_c["vel_obs"]
     flat = cfg_c["flat"]
     eps = 1e-10
 
     gy = jax.lax.rem(
-        t0 + jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + H, H
+        t0 + jax.lax.broadcasted_iota(jnp.int32, (rows, wf), 0) + H, H
     )
-    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    gx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (rows, wf), 1)
     at_y0 = gy == 0
     at_yH = gy == H - 1
     at_x0 = gx == 0
     at_xW = gx == W - 1
     gy_p = jax.lax.rem(
-        t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 0) + H, H
+        t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, wf), 0) + H, H
     )
-    gx_p = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 1)
+    gx_p = gx0 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, wf), 1)
 
     flags, phi, tip, obs_v1 = _geometry(cfg_c, gy, gx, walks, walks_int)
     flags_p, _, tip_p, obs_v1_p = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
@@ -216,7 +228,7 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     is_fluid = flags == FLUID
     is_obs = flags == OBSTACLE
     of_mask = flags == OUTFLOW
-    ctx = _TileCtx(rows, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
+    ctx = _TileCtx(rows, wf, at_y0, at_yH, at_x0, at_xW, is_fluid)
 
     # tip-overwritten velocity (mid + padded, for the SFC pulls);
     # `make_fluid_step`: flat overwrites (0, vel_obs) in the block,
@@ -277,7 +289,7 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
         g = f_new[q]
         g = jnp.where(at_y0, pltpu.roll(g, rows - 1, axis=0), g)
         g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-        g = jnp.where(at_x0, pltpu.roll(g, W - 1, axis=1), g)
+        g = jnp.where(at_x0, pltpu.roll(g, wf - 1, axis=1), g)
         g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
         f_new[q] = jnp.where(of_mask, g, f_new[q])
 
@@ -287,16 +299,16 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     rho_tgt = f_new[0]
     for q in range(1, 9):
         rho_tgt = rho_tgt + f_new[q]
-    vel_tgt_x = jnp.zeros((rows, W), jnp.float32)
-    vel_tgt_y = jnp.zeros((rows, W), jnp.float32)
-    count = jnp.zeros((rows, W), jnp.float32)
+    vel_tgt_x = jnp.zeros((rows, wf), jnp.float32)
+    vel_tgt_y = jnp.zeros((rows, wf), jnp.float32)
+    count = jnp.zeros((rows, wf), jnp.float32)
     valid = []
     for q in range(9):
         ex, ey = int(E[q, 0]), int(E[q, 1])
         if (ex, ey) == (0, 0):
             # q=0's self-is-obstacle contribution only touches cells
             # the reconstruction skips (matches fused_jrl's zero mask)
-            nbr_obs = jnp.zeros((rows, W), bool)
+            nbr_obs = jnp.zeros((rows, wf), bool)
         else:
             nbr_obs = ctx.at_(obs_pad, ex, ey) > 0.5
         v_q = nbr_obs & t_ok
@@ -308,7 +320,7 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
         uy = ctx.at_(vel_p1, -ex, -ey)
         if q in AXIS_X_IN:
             ux = jnp.where(at_x0, -ux, ux)
-        obs_ux = jnp.zeros((rows, W), jnp.float32)
+        obs_ux = jnp.zeros((rows, wf), jnp.float32)
         obs_uy = ctx.at_(obs_v1_full_p, ex, ey) if (ex, ey) != (0, 0) else obs_v1_full
         vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
         vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
@@ -361,19 +373,35 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     return f_new, rho_n, un0, un1
 
 
-def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
+def _make_kernel_a(cfg_c, TH, tile_map, shard=False, xw=None):
     """Streaming + solid-fluid coupling + macro over one TH-row tile.
 
     ``shard=True`` builds the per-shard variant (fused_jrl_sharded.py):
     the kernel gains an SMEM global-row-offset scalar and (11, 8, W)
     cross-shard y-halo piece blocks (f x9 + vel x2, real row adjacent to
     the body) that replace the within-shard BlockSpec wrap on the
-    first/last tiles — the `fused_sharded._lean_tiled_step` pattern."""
+    first/last tiles — the `fused_sharded._lean_tiled_step` pattern.
+
+    ``xw=(x_ext, w)`` (shard-only) selects the EXTENDED-WINDOW 2D-mesh
+    mode: the off scalar gains the shard's global column, the kernel
+    gains per-tile ``(1, planes, TH+2, x_ext)`` x-neighbour extension
+    windows (real data adjacent to the body, as
+    `fused_sharded._lean_tiled_step`), every plane is lane-concatenated
+    to width w + 2*x_ext, the update runs window-parametric in x, and
+    the central w body lanes are sliced into the outputs."""
     vel_obs = cfg_c["vel_obs"]
     inflow_h = cfg_c["inflow_h"]
+    assert xw is None or shard, "xw mode is shard-only"
+    x_ext, w_body = xw if xw else (0, cfg_c["W"])
+    wf = w_body + 2 * x_ext
 
     def kernel(*refs):
-        if shard:
+        lw_ref = rw_ref = None
+        if shard and xw:
+            (step_ref, off_ref, f_tp, f_m, f_bt, vel_tp, vel_m, vel_bt,
+             rho_blk, tpP, btP, lw_ref, rw_ref,
+             f_out, rho_out, vel_out) = refs
+        elif shard:
             (step_ref, off_ref, f_tp, f_m, f_bt, vel_tp, vel_m, vel_bt,
              rho_blk, tpP, btP, f_out, rho_out, vel_out) = refs
         else:
@@ -383,10 +411,13 @@ def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
         pid = pl.program_id(0)
         t0 = tile_map(pid) * TH
         first = last = None
+        gx0 = 0
         if shard:
             t0 = t0 + off_ref[0]
             first = pid == 0
             last = pid == pl.num_programs(0) - 1
+            if xw:
+                gx0 = off_ref[1] - x_ext
 
         def stitch(tp, mid_, bt, pi):
             top = tp[..., -1:, :]
@@ -394,7 +425,12 @@ def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
             if shard:
                 top = jnp.where(first, tpP[pi, -1:, :], top)
                 bot = jnp.where(last, btP[pi, 0:1, :], bot)
-            return jnp.concatenate([top, mid_, bot], axis=-2)
+            rows_w = jnp.concatenate([top, mid_, bot], axis=-2)
+            if xw:
+                rows_w = jnp.concatenate(
+                    [lw_ref[0, pi], rows_w, rw_ref[0, pi]], axis=-1
+                )
+            return rows_w
 
         step_idx = step_ref[0, 0]
         walks = inflow_h + step_idx * vel_obs
@@ -405,9 +441,21 @@ def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
             stitch(vel_tp[0], vel_m[0], vel_bt[0], 9),
             stitch(vel_tp[1], vel_m[1], vel_bt[1], 10),
         )
+        rho_mid = rho_blk[:]
+        if xw:
+            # rho has no halo: it only passes through at OBSTACLE cells,
+            # and the extension lanes' outputs are discarded below
+            z = jnp.zeros((TH, x_ext), jnp.float32)
+            rho_mid = jnp.concatenate([z, rho_mid, z], axis=-1)
         f_new, rho_n, un0, un1 = _fluid_a_update(
-            cfg_c, TH, t0, walks, walks_int, f_pad, vel_pad, rho_blk[:]
+            cfg_c, TH, t0, walks, walks_int, f_pad, vel_pad, rho_mid,
+            gx0=gx0, wf=wf if xw else None,
         )
+        if xw:
+            f_new = [a[:, x_ext : x_ext + w_body] for a in f_new]
+            rho_n = rho_n[:, x_ext : x_ext + w_body]
+            un0 = un0[:, x_ext : x_ext + w_body]
+            un1 = un1[:, x_ext : x_ext + w_body]
         for q in range(9):
             f_out[q] = f_new[q]
         rho_out[:] = rho_n
@@ -417,17 +465,27 @@ def _make_kernel_a(cfg_c, TH, tile_map, shard=False):
     return kernel
 
 
-def _make_kernel_b(cfg_c, TH, tile_map, shard=False):
+def _make_kernel_b(cfg_c, TH, tile_map, shard=False, xw=None):
     """Axisymmetric BGK collision over one TH-row tile (post-macro
     stencils on the stitched rho/vel neighbour blocks).
 
     ``shard=True``: SMEM row offset + (3, 8, W) cross-shard y-halo
-    pieces (rho + vel x2), as `_make_kernel_a`."""
+    pieces (rho + vel x2), as `_make_kernel_a`. ``xw=(x_ext, w)``:
+    extended-window 2D-mesh mode — per-tile (1, 3, TH+2, x_ext)
+    rho/vel extension windows; f is LOCAL to the collision, so its
+    extension lanes are zero-filled and the body lanes sliced out."""
     vel_obs = cfg_c["vel_obs"]
     inflow_h = cfg_c["inflow_h"]
+    assert xw is None or shard, "xw mode is shard-only"
+    x_ext, w_body = xw if xw else (0, cfg_c["W"])
+    wf = w_body + 2 * x_ext
 
     def kernel(*refs):
-        if shard:
+        lw_ref = rw_ref = None
+        if shard and xw:
+            (step_ref, off_ref, f_m, rho_tp, rho_m, rho_bt, vel_tp, vel_m,
+             vel_bt, tpP, btP, lw_ref, rw_ref, f_out) = refs
+        elif shard:
             (step_ref, off_ref, f_m, rho_tp, rho_m, rho_bt, vel_tp, vel_m,
              vel_bt, tpP, btP, f_out) = refs
         else:
@@ -437,10 +495,13 @@ def _make_kernel_b(cfg_c, TH, tile_map, shard=False):
         pid = pl.program_id(0)
         t0 = tile_map(pid) * TH
         first = last = None
+        gx0 = 0
         if shard:
             t0 = t0 + off_ref[0]
             first = pid == 0
             last = pid == pl.num_programs(0) - 1
+            if xw:
+                gx0 = off_ref[1] - x_ext
 
         def stitch(tp, mid_, bt, pi):
             top = tp[..., -1:, :]
@@ -448,19 +509,30 @@ def _make_kernel_b(cfg_c, TH, tile_map, shard=False):
             if shard:
                 top = jnp.where(first, tpP[pi, -1:, :], top)
                 bot = jnp.where(last, btP[pi, 0:1, :], bot)
-            return jnp.concatenate([top, mid_, bot], axis=-2)
+            rows_w = jnp.concatenate([top, mid_, bot], axis=-2)
+            if xw:
+                rows_w = jnp.concatenate(
+                    [lw_ref[0, pi], rows_w, rw_ref[0, pi]], axis=-1
+                )
+            return rows_w
 
         step_idx = step_ref[0, 0]
         walks = inflow_h + step_idx * vel_obs
         walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
 
+        fq = [f_m[q] for q in range(9)]
+        if xw:
+            z = jnp.zeros((TH, x_ext), jnp.float32)
+            fq = [jnp.concatenate([z, a, z], axis=-1) for a in fq]
         f_new = _fluid_b_update(
-            cfg_c, TH, t0, walks, walks_int,
-            [f_m[q] for q in range(9)],
+            cfg_c, TH, t0, walks, walks_int, fq,
             stitch(rho_tp[:], rho_m[:], rho_bt[:], 0),
             (stitch(vel_tp[0], vel_m[0], vel_bt[0], 1),
              stitch(vel_tp[1], vel_m[1], vel_bt[1], 2)),
+            gx0=gx0, wf=wf if xw else None,
         )
+        if xw:
+            f_new = [a[:, x_ext : x_ext + w_body] for a in f_new]
         for q in range(9):
             f_out[q] = f_new[q]
 
@@ -468,7 +540,7 @@ def _make_kernel_b(cfg_c, TH, tile_map, shard=False):
 
 
 def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
-                    vel_pad):
+                    vel_pad, gx0=0, wf=None):
     """Axisymmetric BGK collision on a ``rows``-row window (post-macro
     stencils on the padded rho/vel planes). Window-parametric body
     shared by the single-step kernel B and the k-step kernel; same
@@ -476,23 +548,25 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
     post-stream f list (rows, W); ``rho_pad``/(vel_pad pair) are
     (rows+2, W). Reference: `LBM_collision_2d.py:343-427`."""
     H, W = cfg_c["H"], cfg_c["W"]
+    if wf is None:
+        wf = W
     tau = cfg_c["tau"]
     fy = cfg_c["fy"]
     eps = 1e-10
 
     gy = jax.lax.rem(
-        t0 + jax.lax.broadcasted_iota(jnp.int32, (rows, W), 0) + H, H
+        t0 + jax.lax.broadcasted_iota(jnp.int32, (rows, wf), 0) + H, H
     )
-    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    gx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (rows, wf), 1)
     at_y0 = gy == 0
     at_yH = gy == H - 1
     at_x0 = gx == 0
     at_xW = gx == W - 1
     xs = gx.astype(jnp.float32) + 0.5
     gy_p = jax.lax.rem(
-        t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 0) + H, H
+        t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, wf), 0) + H, H
     )
-    gx_p = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 1)
+    gx_p = gx0 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, wf), 1)
     xs_p = gx_p.astype(jnp.float32) + 0.5
 
     flags, _, _, _ = _geometry(cfg_c, gy, gx, walks, walks_int)
@@ -500,7 +574,7 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
     obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
     is_fluid = flags == FLUID
     is_obs = flags == OBSTACLE
-    ctx = _TileCtx(rows, W, at_y0, at_yH, at_x0, at_xW, is_fluid)
+    ctx = _TileCtx(rows, wf, at_y0, at_yH, at_x0, at_xW, is_fluid)
 
     no8 = {
         (sx, sy): ctx.at_(obs_pad, sx, sy) > 0.5
@@ -534,8 +608,8 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
         def val(sx, sy):
             return ctx.at_(pad, sx, sy)
 
-        gxx = jnp.zeros((rows, W), jnp.float32)
-        bx = jnp.zeros((rows, W), bool)
+        gxx = jnp.zeros((rows, wf), jnp.float32)
+        bx = jnp.zeros((rows, wf), bool)
         p = no8[(1, 0)] | no8[(-1, 0)]
         gxx = gxx + jnp.where(p, 0.0, 4.0 * (val(1, 0) - val(-1, 0)))
         bx = bx | p
@@ -547,8 +621,8 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
         bx = bx | p
         gxx = jnp.where(bx | is_obs, 0.0, gxx) / 12.0
 
-        gyy = jnp.zeros((rows, W), jnp.float32)
-        by = jnp.zeros((rows, W), bool)
+        gyy = jnp.zeros((rows, wf), jnp.float32)
+        by = jnp.zeros((rows, wf), bool)
         p = no8[(0, 1)] | no8[(0, -1)]
         gyy = gyy + jnp.where(p, 0.0, 4.0 * (val(0, 1) - val(0, -1)))
         by = by | p
@@ -958,19 +1032,29 @@ def _stream_c(ctx, hq, h_pad, obs_pad, phi, flags, at_masks, cv=None):
     return h_new, in_mask, in2_mask, is_obs
 
 
-def _make_c_balance_kernel(cfg_c, TH, shard=False):
+def _make_c_balance_kernel(cfg_c, TH, shard=False, xw=None):
     """One balance step per tile: zero velocity, fixed flags.
 
     ``shard=True``: SMEM row offset + cross-shard y-halo pieces —
     (1, 8, W) flags (kept separate from the f32 planes: dtypes differ)
-    and (9, 8, W) h."""
+    and (9, 8, W) h. ``xw=(x_ext, w)``: extended-window 2D-mesh mode
+    (per-tile flag/h x-extension windows; body lanes sliced out —
+    `_make_kernel_a`)."""
     W = cfg_c["W"]
     tau_D = cfg_c["tau_D"]
     inv_tau = 1.0 / tau_D
     rate_coef = 1.0 - 0.5 / tau_D
+    assert xw is None or shard, "xw mode is shard-only"
+    x_ext, w_body = xw if xw else (0, W)
+    wf = w_body + 2 * x_ext
 
     def kernel(*refs):
-        if shard:
+        lwFl = rwFl = lwH = rwH = None
+        if shard and xw:
+            (off_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk,
+             tpFl, btFl, tpH, btH, lwFl, rwFl, lwH, rwH,
+             h_out, c_out) = refs
+        elif shard:
             (off_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt, c_blk,
              tpFl, btFl, tpH, btH, h_out, c_out) = refs
         else:
@@ -980,35 +1064,47 @@ def _make_c_balance_kernel(cfg_c, TH, shard=False):
         pid = pl.program_id(0)
         t0 = pid * TH
         first = last = None
+        gx0 = 0
         if shard:
             t0 = t0 + off_ref[0]
             first = pid == 0
             last = pid == pl.num_programs(0) - 1
+            if xw:
+                gx0 = off_ref[1] - x_ext
 
-        def stitch(tp, mid_, bt, tpp, btp, pi):
+        def stitch(tp, mid_, bt, tpp, btp, lw, rw, pi):
             top = tp[..., -1:, :]
             bot = bt[..., 0:1, :]
             if shard:
                 top = jnp.where(first, tpp[pi, -1:, :], top)
                 bot = jnp.where(last, btp[pi, 0:1, :], bot)
-            return jnp.concatenate([top, mid_, bot], axis=-2)
+            rows_w = jnp.concatenate([top, mid_, bot], axis=-2)
+            if xw:
+                rows_w = jnp.concatenate(
+                    [lw[0, pi], rows_w, rw[0, pi]], axis=-1
+                )
+            return rows_w
 
         H = cfg_c["H"]
-        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, wf), 0)
+        gx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (TH, wf), 1)
         at_masks = (gy == 0, gy == H - 1, gx == 0, gx == W - 1)
         r = gx.astype(jnp.float32) + 0.5
 
-        flags = fl_m[:]
-        flags_pad = stitch(fl_tp[:], fl_m[:], fl_bt[:], tpFl, btFl, 0)
+        flags_pad = stitch(fl_tp[:], fl_m[:], fl_bt[:], tpFl, btFl,
+                           lwFl, rwFl, 0)
+        flags = flags_pad[1:-1, :]
         obs_pad = (flags_pad == OBSTACLE).astype(jnp.float32)
         is_fluid = flags == FLUID
-        ctx = _TileCtx(TH, W, *at_masks, is_fluid)
+        ctx = _TileCtx(TH, wf, *at_masks, is_fluid)
 
-        hq = [h_m[q] for q in range(9)]
-        h_pad = [stitch(h_tp[q], h_m[q], h_bt[q], tpH, btH, q)
+        h_pad = [stitch(h_tp[q], h_m[q], h_bt[q], tpH, btH, lwH, rwH, q)
                  for q in range(9)]
+        hq = [p[1:-1, :] for p in h_pad]
         C = c_blk[:]
+        if xw:
+            z = jnp.zeros((TH, x_ext), jnp.float32)
+            C = jnp.concatenate([z, C, z], axis=-1)
 
         h_new, in_mask, in2_mask, is_obs = _stream_c(
             ctx, hq, h_pad, obs_pad, None, flags, at_masks
@@ -1022,16 +1118,22 @@ def _make_c_balance_kernel(cfg_c, TH, shard=False):
         C_n = jnp.where(is_obs, C, macro_C)
 
         # u = 0: feq = w_q C; Gi vanishes; per-direction axisymmetric rate
+        h_coll = []
         for q in range(9):
             w_rate = inv_tau + rate_coef * float(E[q, 0]) / r
             collided = h_new[q] + w_rate * (float(W_Q[q]) * C_n - h_new[q])
-            h_out[q] = jnp.where(is_obs, h_new[q], collided)
+            h_coll.append(jnp.where(is_obs, h_new[q], collided))
+        if xw:
+            h_coll = [a[:, x_ext : x_ext + w_body] for a in h_coll]
+            C_n = C_n[:, x_ext : x_ext + w_body]
+        for q in range(9):
+            h_out[q] = h_coll[q]
         c_out[:] = C_n
 
     return kernel
 
 
-def _make_c_approach_kernel(cfg_c, TH, shard=False):
+def _make_c_approach_kernel(cfg_c, TH, shard=False, xw=None):
     """One approach step per tile + per-tile partial disk integrals.
 
     The stored-velocity frame pair is interpolated OUTSIDE the kernel
@@ -1082,8 +1184,17 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
         head = (gy == walks_int - 1) & (gx < rint)
         return jnp.where(head, INFLOW, flags), phi
 
+    assert xw is None or shard, "xw mode is shard-only"
+    x_ext, w_body = xw if xw else (0, W)
+    wf = w_body + 2 * x_ext
+
     def kernel(*refs):
-        if shard:
+        lwFl = rwFl = lwH = rwH = None
+        if shard and xw:
+            (step_ref, off_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt,
+             c_blk, vel_m, tpFl, btFl, tpH, btH, lwFl, rwFl, lwH, rwH,
+             h_out, c_out, acc_out) = refs
+        elif shard:
             (step_ref, off_ref, fl_tp, fl_m, fl_bt, h_tp, h_m, h_bt,
              c_blk, vel_m, tpFl, btFl, tpH, btH, h_out, c_out,
              acc_out) = refs
@@ -1094,55 +1205,81 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
         pid = pl.program_id(0)
         t0 = pid * TH
         first = last = None
+        gx0 = 0
         if shard:
             t0 = t0 + off_ref[0]
             first = pid == 0
             last = pid == pl.num_programs(0) - 1
+            if xw:
+                gx0 = off_ref[1] - x_ext
 
-        def stitch(tp, mid_, bt, tpp, btp, pi):
+        def stitch(tp, mid_, bt, tpp, btp, lw, rw, pi):
             top = tp[..., -1:, :]
             bot = bt[..., 0:1, :]
             if shard:
                 top = jnp.where(first, tpp[pi, -1:, :], top)
                 bot = jnp.where(last, btp[pi, 0:1, :], bot)
-            return jnp.concatenate([top, mid_, bot], axis=-2)
+            rows_w = jnp.concatenate([top, mid_, bot], axis=-2)
+            if xw:
+                rows_w = jnp.concatenate(
+                    [lw[0, pi], rows_w, rw[0, pi]], axis=-1
+                )
+            return rows_w
 
         step_idx = step_ref[0, 0]
         walks = inflow_h + step_idx * v
         walks_int = jnp.floor(walks + 0.5).astype(jnp.int32)
 
-        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
-        gx = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+        gy = t0 + jax.lax.broadcasted_iota(jnp.int32, (TH, wf), 0)
+        gx = gx0 + jax.lax.broadcasted_iota(jnp.int32, (TH, wf), 1)
         at_masks = (gy == 0, gy == H - 1, gx == 0, gx == W - 1)
         gy_p = jax.lax.rem(
-            t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0) + H, H
+            t0 - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, wf), 0) + H,
+            H,
         )
-        gx_p = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
+        gx_p = gx0 + jax.lax.broadcasted_iota(jnp.int32, (TH + 2, wf), 1)
         r = gx.astype(jnp.float32) + 0.5
         area_w = jnp.where(
-            gx < rint, _math.pi * (2.0 * gx.astype(jnp.float32) + 1.0), 0.0
+            (gx >= 0) & (gx < rint),
+            _math.pi * (2.0 * gx.astype(jnp.float32) + 1.0), 0.0,
         )
+        if xw:
+            # only BODY lanes contribute to this shard's disk-integral
+            # partials (the extension lanes replicate the x neighbours'
+            # body cells and would double-count across the psum)
+            lx = jax.lax.broadcasted_iota(jnp.int32, (TH, wf), 1)
+            area_w = jnp.where(
+                (lx >= x_ext) & (lx < x_ext + w_body), area_w, 0.0
+            )
 
-        flags, phi = tip(gy, gx, walks, walks_int, fl_m[:])
-        flags_pad, _ = tip(
-            gy_p, gx_p, walks, walks_int,
-            stitch(fl_tp[:], fl_m[:], fl_bt[:], tpFl, btFl, 0),
-        )
+        flags_pad_base = stitch(fl_tp[:], fl_m[:], fl_bt[:], tpFl, btFl,
+                                lwFl, rwFl, 0)
+        flags, phi = tip(gy, gx, walks, walks_int,
+                         flags_pad_base[1:-1, :])
+        flags_pad, _ = tip(gy_p, gx_p, walks, walks_int, flags_pad_base)
         obs_pad = (flags_pad == OBSTACLE).astype(jnp.float32)
         is_fluid = flags == FLUID
-        ctx = _TileCtx(TH, W, *at_masks, is_fluid)
+        ctx = _TileCtx(TH, wf, *at_masks, is_fluid)
 
         C = c_blk[:]
+        if xw:
+            z = jnp.zeros((TH, x_ext), jnp.float32)
+            C = jnp.concatenate([z, C, z], axis=-1)
         C = jnp.where(flags == OBSTACLE, 0.0, C)
 
         # C_vel from the (host-interpolated) stored velocity
         tip_block = (gy < walks_int) & (gx < jnp.int32(rg))
-        cv0 = jnp.where(tip_block, 0.0, vel_m[0] * v)
-        cv1 = jnp.where(tip_block, v, vel_m[1] * v)
+        v0_m, v1_m = vel_m[0], vel_m[1]
+        if xw:
+            z = jnp.zeros((TH, x_ext), jnp.float32)
+            v0_m = jnp.concatenate([z, v0_m, z], axis=-1)
+            v1_m = jnp.concatenate([z, v1_m, z], axis=-1)
+        cv0 = jnp.where(tip_block, 0.0, v0_m * v)
+        cv1 = jnp.where(tip_block, v, v1_m * v)
 
-        hq = [h_m[q] for q in range(9)]
-        h_pad = [stitch(h_tp[q], h_m[q], h_bt[q], tpH, btH, q)
+        h_pad = [stitch(h_tp[q], h_m[q], h_bt[q], tpH, btH, lwH, rwH, q)
                  for q in range(9)]
+        hq = [p[1:-1, :] for p in h_pad]
         h_new, in_mask, in2_mask, is_obs = _stream_c(
             ctx, hq, h_pad, obs_pad, phi, flags, at_masks, cv=(cv0, cv1)
         )
@@ -1158,13 +1295,20 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
 
         feq_n = _feq9(C_n, cv0, cv1)
         ur = cv0
+        h_coll = []
         for q in range(9):
             s_q = rate_coef * float(E[q, 0]) / r
             w_rate = inv_tau + s_q
             Gq = -(ur / r) * feq_n[q] * (1.0 - 0.5 / tau_D - 0.5 * s_q)
             collided = h_new[q] + w_rate * (feq_n[q] - h_new[q]) + Gq
-            h_out[q] = jnp.where(is_obs, h_new[q], collided)
-        c_out[:] = C_n
+            h_coll.append(jnp.where(is_obs, h_new[q], collided))
+        if xw:
+            h_coll = [a[:, x_ext : x_ext + w_body] for a in h_coll]
+            c_out[:] = C_n[:, x_ext : x_ext + w_body]
+        else:
+            c_out[:] = C_n
+        for q in range(9):
+            h_out[q] = h_coll[q]
 
         # per-tile partial integrals (`C_ethaline:364-385`; flat flux form
         # `C_cylinder:344-358`) -> lanes 0..3 of this tile's acc row.
@@ -1182,7 +1326,10 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False):
         sum_cur = jnp.sum(disk * row_cur)
         if flat:
             rC = (gx.astype(jnp.float32) + 0.5) * C_n
-            rC_next = pltpu.roll(rC, W - 1, axis=1)
+            # lane i reads lane i+1; on the window (xw mode) the body's
+            # last lane reads the first right-extension lane, whose C_n
+            # is exact given x_ext >= 2 (the runner enforces this)
+            rC_next = pltpu.roll(rC, wf - 1, axis=1)
             dcr = (rC_next - rC) / r * area_w
             sum_m1 = jnp.sum(disk * row_m1)
             new_inflow = (sum_in - sum_m1) + jnp.sum(dcr * row_in)

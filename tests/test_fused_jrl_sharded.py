@@ -1,12 +1,16 @@
 """Sharded row-tiled fused JRL kernels vs the unfused jnp step.
 
 `ops/pallas/fused_jrl_sharded.py` runs the tiled fused JRL kernels per
-shard of a (ny, 1) row mesh with ppermute y-halo pieces; equivalence is
-checked against the plain jnp step (the same oracle the unsharded tiled
-tests use) on the 8-virtual-device CPU mesh in interpret mode, with
-enough steps that the tip advances a row and halo rows cross the shard
+shard of a (ny, nx) mesh with ppermute y-halo pieces (and, for nx > 1,
+extended-window x-neighbour edge blocks); equivalence is checked
+against the plain jnp step (the same oracle the unsharded tiled tests
+use) on the 8-virtual-device CPU mesh in interpret mode, with enough
+steps that the tip advances a row and halo rows cross the shard
 boundary (streaming pulls, post-macro collision stencils, analytic
-geometry on halo rows).
+geometry on halo rows). The 2D-mesh cases put the tip (rg = 26 of
+W = 32) across the x shard boundary, and the (1, 8) approach case
+splits the tip DISK (rint = 7, w = 4) across x shards so the flat
+flux-form integrals cross the extension window.
 """
 
 import numpy as np
@@ -26,7 +30,7 @@ def _run_unfused_fluid(cfg, n):
     return state
 
 
-@pytest.mark.parametrize("mesh_shape", [(2, 1), (3, 1)])
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (3, 1), (2, 2)])
 def test_sharded_tiled_jrl_fluid_matches_unfused(mesh_shape):
     from jrl_lbm_tpu.ops.pallas import fused_jrl_sharded as sh
 
@@ -51,7 +55,8 @@ def test_sharded_tiled_jrl_fluid_matches_unfused(mesh_shape):
         )
 
 
-def test_sharded_tiled_c_balance_matches_unfused():
+@pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)])
+def test_sharded_tiled_c_balance_matches_unfused(mesh_shape):
     from jrl_lbm_tpu.ops.pallas import fused_jrl_sharded as sh
 
     cfg = jrl.JRLCConfig(res=(48, 32), Re=4.0, Pe=5.0, shape="45degree")
@@ -59,7 +64,8 @@ def test_sharded_tiled_c_balance_matches_unfused():
     run_ref = jrl.make_balance_runner(cfg, flags)
     ref = jax.tree.map(np.asarray, run_ref(state, fields, 12))
 
-    mesh = make_mesh((2, 1), devices=jax.devices()[:2])
+    ny, nx = mesh_shape
+    mesh = make_mesh(mesh_shape, devices=jax.devices()[: ny * nx])
     run = sh.make_sharded_tiled_balance_runner(cfg, flags, mesh,
                                                tile_rows=8, unroll=4,
                                                interpret=True)
@@ -78,6 +84,14 @@ def test_sharded_tiled_c_balance_matches_unfused():
         # cylinder: FLAT flux-form integrals (dC_z + dC_r); the (3, 1)
         # mesh moves the shard boundary to rows 16/32 near the tip rows
         ("cylinder", (3, 1)),
+        # 2D mesh: the tip block (rg = 26) straddles the x shard
+        # boundary at w = 16; extended-window mode
+        ("cylinder", (2, 2)),
+        # x-only mesh with w = 4: the tip DISK (rint = 7) itself spans
+        # two x shards — the flat flux form's dC_r term reads C across
+        # the extension window and the partial sums psum across x
+        ("cylinder", (1, 8)),
+        ("45degree", (2, 2)),
     ],
 )
 def test_sharded_tiled_c_approach_matches_unfused(shape, mesh_shape):
