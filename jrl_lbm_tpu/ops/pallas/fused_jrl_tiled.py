@@ -57,16 +57,41 @@ _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _feq9(rho, ux, uy):
+    """D2Q9 equilibrium, CSE'd across directions (r5 compute diet).
+
+    Bit-exact restructure of the per-q `rho*w*(1 + eu/CS2 +
+    0.5*eu^2/CS2^2 - 0.5*u^2/CS2)` loop: the u^2 term is q-independent
+    (1 divide instead of 9), REFL pairs share eu up to sign — IEEE
+    negation/division are sign-symmetric, so `(-eu)/c == -(eu/c)` and
+    `(0.5*(-eu))*(-eu) == (0.5*eu)*eu` exactly — and rho*w is shared
+    per weight class. 27 divides -> 9. The q=0 linear/quadratic terms
+    are exact +-0 that `1.0 + ...` absorbs.
+    """
     uv = ux * ux + uy * uy
-    out = []
-    for q in range(9):
-        ex, ey = float(E[q, 0]), float(E[q, 1])
-        eu = ex * ux + ey * uy
-        w = float(W_Q[q])
-        out.append(
-            rho * w * (1.0 + eu / CS2 + 0.5 * eu * eu / (CS2 * CS2) - 0.5 * uv / CS2)
-        )
-    return out
+    c = 0.5 * uv / CS2
+    ics4 = CS2 * CS2
+    s = ux + uy
+    d = ux - uy
+    a_x, a_y = ux / CS2, uy / CS2
+    a_s, a_d = s / CS2, d / CS2
+    b_x = 0.5 * ux * ux / ics4
+    b_y = 0.5 * uy * uy / ics4
+    b_s = 0.5 * s * s / ics4
+    b_d = 0.5 * d * d / ics4
+    r0 = rho * float(W_Q[0])
+    r1 = rho * float(W_Q[1])
+    r5 = rho * float(W_Q[5])
+    return [
+        r0 * (1.0 - c),
+        r1 * (1.0 + a_x + b_x - c),
+        r1 * (1.0 + a_y + b_y - c),
+        r1 * (1.0 - a_x + b_x - c),
+        r1 * (1.0 - a_y + b_y - c),
+        r5 * (1.0 + a_s + b_s - c),
+        r5 * (1.0 - a_d + b_d - c),
+        r5 * (1.0 - a_s + b_s - c),
+        r5 * (1.0 + a_d + b_d - c),
+    ]
 
 
 class _TileCtx:
@@ -76,6 +101,19 @@ class _TileCtx:
     (streaming, reflect-clamp + x=0 axis collapse) and
     `ops/stencil.py::_at` (minmax clamp) — global y periodicity for FLUID
     cells comes from the BlockSpec wrap of the neighbour blocks.
+
+    Single-pass merged form (r5 compute diet): instead of evaluating a
+    fluid and a non-fluid variant of every read and selecting per cell,
+    the boundary redirects are applied as destination-masked overrides
+    (`at_y0 & ~is_fluid` etc.) on ONE evaluation. All x shifts are
+    lane-rolls of the full PADDED plane, memoized per (plane, shift) —
+    rolls commute with row-slicing, so every direction's read is a row
+    slice of one of <= 2 rolled copies per plane, and both `pull` and
+    `at_` share them. Bit-exact vs the two-variant form: the y-override
+    is selected AFTER the x roll from the same rolled plane (the
+    override source row is y-uniform per destination row, and roll acts
+    within rows), and each mask condition reproduces exactly the cells
+    the old per-variant select routed to that value.
     """
 
     def __init__(self, TH, W, at_y0, at_yH, at_x0, at_xW, is_fluid):
@@ -83,55 +121,93 @@ class _TileCtx:
         self.at_y0, self.at_yH = at_y0, at_yH
         self.at_x0, self.at_xW = at_x0, at_xW
         self.is_fluid = is_fluid
+        nf = jnp.logical_not(is_fluid)
+        self.at_y0_nf = at_y0 & nf
+        self.at_yH_nf = at_yH & nf
+        self.at_xW_nf = at_xW & nf
+        self._rolled = {}  # (id(pad), shift) -> (pad ref, rolled plane)
+        self._memo = {}  # (kind, id(pad), ...) -> (pad ref, result)
 
     def rows(self, pad, yo):
         return pad[1 + yo : 1 + yo + self.TH, :]
 
-    def _pull1(self, pad, ex, ey, fluid):
-        base = self.rows(pad, -ey)
-        if ey == 1 and not fluid:  # global row 0 pulls from row 1
-            base = jnp.where(self.at_y0, self.rows(pad, 1), base)
-        if ey == -1 and not fluid:  # row H-1 pulls from H-2
-            base = jnp.where(self.at_yH, self.rows(pad, -1), base)
-        if ex == 0:
-            return base
-        v = pltpu.roll(base, ex % self.W, axis=1)
-        if ex == 1:  # x=0 symmetry axis collapse (always on for JRL)
-            return jnp.where(self.at_x0, base, v)
-        if not fluid:  # col W-1 pulls from W-2
-            return jnp.where(self.at_xW, pltpu.roll(base, 1, axis=1), v)
-        return v
+    def _xroll(self, pad, shift):
+        if shift == 0:
+            return pad
+        key = (id(pad), shift)
+        hit = self._rolled.get(key)
+        if hit is None:
+            hit = (pad, pltpu.roll(pad, shift, axis=1))
+            self._rolled[key] = hit
+        return hit[1]
+
+    def _pull_piece(self, pad, shift, ey):
+        """rows(xroll(pad, shift), -ey) with the non-fluid y-edge
+        redirects of `ops/stream.py::_pull` (row 0 pulls row 1, row H-1
+        pulls row H-2) applied as destination-masked overrides."""
+        key = ("p", id(pad), shift, ey)
+        hit = self._memo.get(key)
+        if hit is None:
+            rp = self._xroll(pad, shift)
+            v = self.rows(rp, -ey)
+            if ey == 1:
+                v = jnp.where(self.at_y0_nf, self.rows(rp, 1), v)
+            elif ey == -1:
+                v = jnp.where(self.at_yH_nf, self.rows(rp, -1), v)
+            self._memo[key] = (pad, v)
+            return v
+        return hit[1]
 
     def pull(self, pad, ex, ey):
         """Streamed income: value from (y - ey, x - ex)."""
-        return jnp.where(
-            self.is_fluid,
-            self._pull1(pad, ex, ey, True),
-            self._pull1(pad, ex, ey, False),
-        )
-
-    def _at1(self, pad, sx, sy, fluid):
-        base = self.rows(pad, sy)
-        if sy == -1 and not fluid:
-            base = jnp.where(self.at_y0, self.rows(pad, 0), base)
-        if sy == 1 and not fluid:
-            base = jnp.where(self.at_yH, self.rows(pad, 0), base)
-        if sx == 0:
-            return base
-        v = pltpu.roll(base, (-sx) % self.W, axis=1)
-        if sx == -1:  # axis collapse == min clamp at col 0
-            return jnp.where(self.at_x0, base, v)
-        if not fluid:
-            return jnp.where(self.at_xW, base, v)
+        key = ("pull", id(pad), ex, ey)
+        hit = self._memo.get(key)
+        if hit is not None:
+            return hit[1]
+        v = self._pull_piece(pad, ex % self.W if ex else 0, ey)
+        if ex == 1:  # x=0 symmetry axis collapse (always on for JRL)
+            v = jnp.where(self.at_x0, self._pull_piece(pad, 0, ey), v)
+        elif ex == -1:  # col W-1 pulls from W-2 (non-fluid only)
+            v = jnp.where(self.at_xW_nf, self._pull_piece(pad, 1, ey), v)
+        self._memo[key] = (pad, v)
         return v
+
+    def pull_x0(self, pad, ey):
+        """`pull(pad, 1, ey)` restricted to at_x0 destinations, where
+        the axis collapse reduces it to the un-rolled y-fixed rows —
+        used for the x=0 mirror-population reads so they cost no roll
+        (values off column 0 are discarded by the caller's mask)."""
+        return self._pull_piece(pad, 0, ey)
+
+    def _at_piece(self, pad, shift, sy):
+        """rows(xroll(pad, shift), sy) with the non-fluid y-edge clamps
+        of `ops/stencil.py::_at` (rows 0 / H-1 clamp to their own row)."""
+        key = ("a", id(pad), shift, sy)
+        hit = self._memo.get(key)
+        if hit is None:
+            rp = self._xroll(pad, shift)
+            v = self.rows(rp, sy)
+            if sy == -1:
+                v = jnp.where(self.at_y0_nf, self.rows(rp, 0), v)
+            elif sy == 1:
+                v = jnp.where(self.at_yH_nf, self.rows(rp, 0), v)
+            self._memo[key] = (pad, v)
+            return v
+        return hit[1]
 
     def at_(self, pad, sx, sy):
         """Stencil read: value from (y + sy, x + sx), minmax clamp."""
-        return jnp.where(
-            self.is_fluid,
-            self._at1(pad, sx, sy, True),
-            self._at1(pad, sx, sy, False),
-        )
+        key = ("at", id(pad), sx, sy)
+        hit = self._memo.get(key)
+        if hit is not None:
+            return hit[1]
+        v = self._at_piece(pad, (-sx) % self.W if sx else 0, sy)
+        if sx == -1:  # axis collapse == min clamp at col 0
+            v = jnp.where(self.at_x0, self._at_piece(pad, 0, sy), v)
+        elif sx == 1:  # col W-1 clamps to itself (non-fluid only)
+            v = jnp.where(self.at_xW_nf, self._at_piece(pad, 0, sy), v)
+        self._memo[key] = (pad, v)
+        return v
 
 
 def _geometry(cfg_c, gy, gx, walks, walks_int):
@@ -221,8 +297,12 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     )
     gx_p = gx0 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, wf), 1)
 
-    flags, phi, tip, obs_v1 = _geometry(cfg_c, gy, gx, walks, walks_int)
-    flags_p, _, tip_p, obs_v1_p = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
+    # one geometry evaluation on the padded coords; the mid-row planes
+    # are row slices of it (gy_p[1:-1] == gy by construction)
+    flags_p, phi_p, tip_p, obs_v1_p = _geometry(
+        cfg_c, gy_p, gx_p, walks, walks_int)
+    flags, phi, tip, obs_v1 = (
+        flags_p[1:-1, :], phi_p[1:-1, :], tip_p[1:-1, :], obs_v1_p[1:-1, :])
     obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
 
     is_fluid = flags == FLUID
@@ -230,37 +310,43 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     of_mask = flags == OUTFLOW
     ctx = _TileCtx(rows, wf, at_y0, at_yH, at_x0, at_xW, is_fluid)
 
-    # tip-overwritten velocity (mid + padded, for the SFC pulls);
+    # tip-overwritten velocity (padded; mid planes are row slices);
     # `make_fluid_step`: flat overwrites (0, vel_obs) in the block,
     # wedge overwrites with obs_vel (top row excluded)
     vel_p0, vel_p1 = vel_pad
-    vel0_m = vel_p0[1:-1, :]
-    vel1_m = vel_p1[1:-1, :]
+    vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
     if flat:
-        vel0_m = jnp.where(tip, 0.0, vel0_m)
-        vel1_m = jnp.where(tip, vel_obs, vel1_m)
-        vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
         vel_p1 = jnp.where(tip_p, vel_obs, vel_p1)
-        obs_v1_full = jnp.where(tip, vel_obs, 0.0)
         obs_v1_full_p = jnp.where(tip_p, vel_obs, 0.0)
     else:
-        vel0_m = jnp.where(tip, 0.0, vel0_m)
-        vel1_m = jnp.where(tip, obs_v1, vel1_m)
-        vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
         vel_p1 = jnp.where(tip_p, obs_v1_p, vel_p1)
-        obs_v1_full = obs_v1
         obs_v1_full_p = obs_v1_p
+    vel0_m = vel_p0[1:-1, :]
+    vel1_m = vel_p1[1:-1, :]
+    obs_v1_full = obs_v1_full_p[1:-1, :]
 
     fq = [f_pad[q][1:-1, :] for q in range(9)]
 
     # ---- streaming (pull + axis mirroring + sub-grid bounce) ----
+    # interpolation weights shared across all 8 directions (phi is
+    # direction-independent)
+    t = phi
+    w1a = 2.0 * t - 1.0
+    w1b = 2.0 - 2.0 * t
+    w2a = 2.0 * t
+    w2b = 1.0 - 2.0 * t
+    in_v1 = (t >= 0.5) & (t <= 1.0)
+    in_v2 = (t >= 0.0) & (t <= 0.5)
     raw_in = [fq[0]] + [None] * 8
     streamed = [fq[0]] + [None] * 8
     for q in range(1, 9):
         ex, ey = int(E[q, 0]), int(E[q, 1])
         val = ctx.pull(f_pad[q], ex, ey)
         if q in AXIS_X_IN:
-            val = jnp.where(at_x0, ctx.pull(f_pad[int(MX[q])], ex, ey), val)
+            # the mirror pull is consumed only at at_x0 destinations,
+            # where the ex=1 axis collapse makes it the un-rolled
+            # y-fixed base — no lane roll needed (see _TileCtx.pull_x0)
+            val = jnp.where(at_x0, ctx.pull_x0(f_pad[int(MX[q])], ey), val)
         raw_in[q] = val
         nbr_obs = ctx.pull(obs_pad, ex, ey) > 0.5
         f_this = fq[int(REFL[q])]
@@ -268,32 +354,35 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
         if q in AXIS_X_OUT:
             oq = int(MX[q])
             nxt = jnp.where(
-                at_x0, ctx.pull(f_pad[int(REFL[oq])], -ex, -ey), nxt
+                at_x0, ctx.pull_x0(f_pad[int(REFL[oq])], -ey), nxt
             )
-        t = phi
-        v1 = (2.0 * t - 1.0) * val + (2.0 - 2.0 * t) * f_this
-        v2 = (2.0 * t) * f_this + (1.0 - 2.0 * t) * nxt
-        v_obs = jnp.where(
-            (t >= 0.5) & (t <= 1.0),
-            v1,
-            jnp.where((t >= 0.0) & (t <= 0.5), v2, f_this),
-        )
+        v1 = w1a * val + w1b * f_this
+        v2 = w2a * f_this + w2b * nxt
+        v_obs = jnp.where(in_v1, v1, jnp.where(in_v2, v2, f_this))
         streamed[q] = jnp.where(nbr_obs, v_obs, val)
 
     f_new = [fq[0]]
     for p in range(1, 9):
         f_new.append(jnp.where(is_obs, raw_in[int(REFL[p])], streamed[p]))
 
-    # OUTFLOW: copy all 9 from the inward neighbour (within-window)
+    # OUTFLOW: copy all 9 from the inward neighbour (within-window).
+    # OUTFLOW cells exist only on global row 0 and column W-1 (the top
+    # row is OBSTACLE and column 0 is the FLUID axis, `_geometry`), so
+    # the at_yH / at_x0 copies of the full 4-direction form are dead —
+    # of_mask never holds there.
     for q in range(9):
         g = f_new[q]
         g = jnp.where(at_y0, pltpu.roll(g, rows - 1, axis=0), g)
-        g = jnp.where(at_yH, pltpu.roll(g, 1, axis=0), g)
-        g = jnp.where(at_x0, pltpu.roll(g, wf - 1, axis=1), g)
         g = jnp.where(at_xW, pltpu.roll(g, 1, axis=1), g)
         f_new[q] = jnp.where(of_mask, g, f_new[q])
 
     # ---- solid-fluid coupling (moving tip) ----
+    # q=0 is statically dropped from the neighbour scan: its
+    # self-is-obstacle mask is identically zero (matches fused_jrl's
+    # zero mask), so every q=0 accumulator term is an exact +-0 that
+    # the sums absorb. The obstacle x-velocity is identically zero for
+    # this geometry (`_geometry` only ever sets the y component), so
+    # the obs_ux terms are statically dropped too.
     t_ok = (phi > -eps) & (phi <= 1.0 + eps)
     skip = is_obs | at_xW | at_yH
     rho_tgt = f_new[0]
@@ -302,15 +391,10 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     vel_tgt_x = jnp.zeros((rows, wf), jnp.float32)
     vel_tgt_y = jnp.zeros((rows, wf), jnp.float32)
     count = jnp.zeros((rows, wf), jnp.float32)
-    valid = []
-    for q in range(9):
+    valid = [jnp.zeros((rows, wf), bool)]
+    for q in range(1, 9):
         ex, ey = int(E[q, 0]), int(E[q, 1])
-        if (ex, ey) == (0, 0):
-            # q=0's self-is-obstacle contribution only touches cells
-            # the reconstruction skips (matches fused_jrl's zero mask)
-            nbr_obs = jnp.zeros((rows, wf), bool)
-        else:
-            nbr_obs = ctx.at_(obs_pad, ex, ey) > 0.5
+        nbr_obs = ctx.at_(obs_pad, ex, ey) > 0.5
         v_q = nbr_obs & t_ok
         valid.append(v_q)
         vmask = v_q.astype(jnp.float32)
@@ -320,14 +404,14 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
         uy = ctx.at_(vel_p1, -ex, -ey)
         if q in AXIS_X_IN:
             ux = jnp.where(at_x0, -ux, ux)
-        obs_ux = jnp.zeros((rows, wf), jnp.float32)
-        obs_uy = ctx.at_(obs_v1_full_p, ex, ey) if (ex, ey) != (0, 0) else obs_v1_full
-        vel_tgt_x = vel_tgt_x + vmask * (tq * ux + obs_ux) / (tq + 1.0)
-        vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / (tq + 1.0)
+        obs_uy = ctx.at_(obs_v1_full_p, ex, ey)
+        den = tq + 1.0
+        vel_tgt_x = vel_tgt_x + vmask * (tq * ux) / den
+        vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / den
         qi = int(REFL[q])
-        rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (
-            float(E[qi, 0]) * obs_ux + float(E[qi, 1]) * obs_uy
-        )
+        e1i = float(E[qi, 1])
+        if e1i != 0.0:
+            rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (e1i * obs_uy)
     safe_count = jnp.where(count > 0, count, 1.0)
     u0 = vel_tgt_x / safe_count
     u1 = vel_tgt_y / safe_count
@@ -347,18 +431,46 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
 
     g00, g01 = grad12(vel_p0)
     g10, g11 = grad12(vel_p1)
-    for q in range(9):
+    # noneq pressure-tensor terms are q-independent; pab and its
+    # divided form depend only on (e0^2, e1^2, e0*e1) — 5 classes over
+    # the 9 directions (REFL pairs share), each computed once. Terms
+    # whose per-q Python coefficient is exactly 0 are dropped (the old
+    # tree added an exact +-0 there).
+    t1 = u0 * u0 - CS2 * tau * (g00 + g00)
+    t2 = u1 * u0 - CS2 * tau * (g10 + g01)
+    t3 = u0 * u1 - CS2 * tau * (g01 + g10)
+    t4 = u1 * u1 - CS2 * tau * (g11 + g11)
+    skip_n = jnp.logical_not(skip)
+    pab_memo = {}
+    wrho_memo = {}
+    for q in range(1, 9):
         qi = int(REFL[q])
         e0, e1 = float(E[qi, 0]), float(E[qi, 1])
-        pab = (u0 * u0 - CS2 * tau * (g00 + g00)) * (e0 * e0 - CS2)
-        pab = pab + (u1 * u0 - CS2 * tau * (g10 + g01)) * (e1 * e0)
-        pab = pab + (u0 * u1 - CS2 * tau * (g01 + g10)) * (e0 * e1)
-        pab = pab + (u1 * u1 - CS2 * tau * (g11 + g11)) * (e1 * e1 - CS2)
-        recon = float(W_Q[qi]) * rho_tgt * (
-            1.0 + (1.0 / CS2) * (u0 * e0 + u1 * e1) + 0.5 * pab / (CS2 * CS2)
-        )
-        mask = valid[q] & jnp.logical_not(skip)
-        f_new[qi] = jnp.where(mask, recon, f_new[qi])
+        c1, c2, c3, c4 = e0 * e0 - CS2, e1 * e0, e0 * e1, e1 * e1 - CS2
+        pkey = (c1, c2, c3, c4)
+        p_term = pab_memo.get(pkey)
+        if p_term is None:
+            pab = t1 * c1
+            if c2 != 0.0:
+                pab = pab + t2 * c2
+            if c3 != 0.0:
+                pab = pab + t3 * c3
+            pab = pab + t4 * c4
+            p_term = 0.5 * pab / (CS2 * CS2)
+            pab_memo[pkey] = p_term
+        if e1 == 0.0:
+            m = (1.0 / CS2) * (u0 * e0)
+        elif e0 == 0.0:
+            m = (1.0 / CS2) * (u1 * e1)
+        else:
+            m = (1.0 / CS2) * (u0 * e0 + u1 * e1)
+        w = float(W_Q[qi])
+        wrho = wrho_memo.get(w)
+        if wrho is None:
+            wrho = w * rho_tgt
+            wrho_memo[w] = wrho
+        recon = wrho * (1.0 + m + p_term)
+        f_new[qi] = jnp.where(valid[q] & skip_n, recon, f_new[qi])
 
     # ---- macro (OBSTACLE passthrough of pre-macro rho / tip vel) ----
     macro_rho = f_new[0]
@@ -569,8 +681,8 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
     gx_p = gx0 + jax.lax.broadcasted_iota(jnp.int32, (rows + 2, wf), 1)
     xs_p = gx_p.astype(jnp.float32) + 0.5
 
-    flags, _, _, _ = _geometry(cfg_c, gy, gx, walks, walks_int)
     flags_p, _, _, _ = _geometry(cfg_c, gy_p, gx_p, walks, walks_int)
+    flags = flags_p[1:-1, :]  # gy_p[1:-1] == gy by construction
     obs_pad = (flags_p == OBSTACLE).astype(jnp.float32)
     is_fluid = flags == FLUID
     is_obs = flags == OBSTACLE
@@ -596,15 +708,17 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
 
     r = xs
     ur = un0
-    A1 = -rho_n * ur / r
     A1_pad = -rho_p * vel_p0 / xs_p
+    # == -rho_n * ur / r: the mid planes are row slices of the padded
+    # ones, so A1 is a slice of A1_pad (one divide instead of two)
+    A1 = A1_pad[1:-1, :]
     visc = CS2 * (tau - 0.5)
     mu = visc * rho_n
     pressure_pad = rho_p * CS2
     mom0_pad = rho_p * vel_p0 * vel_p0
     mom1_pad = rho_p * vel_p0 * vel_p1
 
-    def grad_blocked(pad):
+    def grad_blocked(pad, want_gy=False):
         def val(sx, sy):
             return ctx.at_(pad, sx, sy)
 
@@ -620,6 +734,8 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
         gxx = gxx + jnp.where(p, 0.0, val(1, -1) - val(-1, -1))
         bx = bx | p
         gxx = jnp.where(bx | is_obs, 0.0, gxx) / 12.0
+        if not want_gy:  # 3 of 4 call sites discard gyy
+            return gxx, None
 
         gyy = jnp.zeros((rows, wf), jnp.float32)
         by = jnp.zeros((rows, wf), bool)
@@ -649,15 +765,25 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
     gp_x, _ = grad_blocked(pressure_pad)
     div_m = div_free(mom0_pad, mom1_pad)
     A2 = (gp_x + div_m) * (1.0 / (2.0 * r))
-    ga1_x, ga1_y = grad_blocked(A1_pad)
-    F2_0 = (mu / r) * (gu_x - ur / r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
-    F2_1 = (mu / r) * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
+    ga1_x, ga1_y = grad_blocked(A1_pad, want_gy=True)
+    mu_r = mu / r
+    F2_0 = mu_r * (gu_x - ur / r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
+    F2_1 = mu_r * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
 
+    # Gq source, CSE'd across directions: the e.F2 projection depends
+    # on e only up to sign within REFL pairs (IEEE negation/division
+    # are sign-symmetric), so 4 divides cover q=1..8; q=0's projection
+    # is an exact +-0 the sum absorbs. Same scheme as _feq9.
     inv_tau = 1.0 / tau
+    base_g = A1 + A2
+    g_x = F2_0 / CS2
+    g_y = F2_1 / CS2
+    g_s = (F2_0 + F2_1) / CS2
+    g_d = (F2_0 - F2_1) / CS2
+    proj = [None, g_x, g_y, -g_x, -g_y, g_s, -g_d, -g_s, g_d]
     f_out = []
     for q in range(9):
-        e0, e1 = float(E[q, 0]), float(E[q, 1])
-        Gq = (A1 + A2 + (e0 * F2_0 + e1 * F2_1) / CS2) * float(W_Q[q])
+        Gq = (base_g if q == 0 else base_g + proj[q]) * float(W_Q[q])
         collided = fq[q] + inv_tau * (feq_n[q] - fq[q]) + Gq
         f_out.append(jnp.where(is_obs, fq[q], collided))
     return f_out
@@ -1185,6 +1311,14 @@ def _make_c_approach_kernel(cfg_c, TH, shard=False, xw=None):
         return jnp.where(head, INFLOW, flags), phi
 
     assert xw is None or shard, "xw mode is shard-only"
+    # xw mode zero-fills the stored velocity in extension lanes (below);
+    # cv feeds feq_in2 at INFLOW_2 cells, so the x_ext >= 2 exactness of
+    # the first extension lane's C_n (read by the flat flux roll) relies
+    # on no INFLOW_2 cell ever sitting on a disk-integral read lane.
+    # INFLOW_2 lives at gy=0 gx>=Rg, the right column, and the top row
+    # (models/jrl.py::c_init) — all outside gx <= rint — enforced here
+    # (ADVICE r4).
+    assert int(rint) < int(rg) and int(rint) < W - 1, (rint, rg, W)
     x_ext, w_body = xw if xw else (0, W)
     wf = w_body + 2 * x_ext
 
