@@ -4,6 +4,14 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is value / 1000 (the >=1000 MLUPS/chip north-star; the
 reference publishes no numbers of its own, BASELINE.md).
+
+stderr heartbeats mark every stage (import / init / compile / warmup
+sync / each window) so a hung driver run shows WHERE it stalled
+(round-4 rc=124 left only the axon platform warning — invisible hang
+point, VERDICT r4 weak #1). Re-run this script after ANY change to
+fused_step.py / models/cylinder.py / jax config so `.jax_cache` holds
+the exact bench-kernel HLO the driver will need (cold Mosaic compiles
+take minutes and can blow the driver timeout).
 """
 
 import json
@@ -21,7 +29,12 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _hb(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    _hb("start (imports done)")
     res = (2048, 2048)
     warmup_steps = 20
     # 600-step windows: the axon tunnel costs ~50 ms per submit+sync
@@ -37,6 +50,7 @@ def main():
     storage = os.environ.get("LBM_F_STORAGE", "f32")
     bf16_dev = {"f32": False, "bf16_dev": True, "bf16_dev_sr": "sr"}[storage]
     cfg = cyl.CylinderConfig(res=res, D=64.0, Re=5000.0)
+    _hb(f"init state {res} on {jax.devices()[0].platform}")
     state, fields = cyl.init(cfg)
     run = None
     if use_fused:
@@ -51,21 +65,26 @@ def main():
     if run is None:
         run = cyl.make_runner(cfg)
 
+    _hb("runner built; warmup dispatch (cold Mosaic compile takes minutes "
+        "on a cache miss)")
     state = run(state, fields, warmup_steps)
+    _hb("warmup dispatched; forcing device sync")
     # force a host fetch: on remote-tunnel setups block_until_ready can
     # return before device completion
     float(jnp.sum(state["rho"]))
+    _hb("warmup synced; timing 3 windows")
 
     # best of 3 windows: single-window numbers drift a few % with chip /
     # tunnel state; the max is the reproducible capability number
     cells = res[0] * res[1]
     mlups = 0.0
-    for _ in range(3):
+    for w in range(3):
         t0 = time.perf_counter()
         state = run(state, fields, bench_steps)
         float(jnp.sum(state["rho"]))
         t1 = time.perf_counter()
         mlups = max(mlups, cells * bench_steps / (t1 - t0) / 1e6)
+        _hb(f"window {w + 1}/3: {cells * bench_steps / (t1 - t0) / 1e6:.1f} MLUPS")
     print(
         json.dumps(
             {
