@@ -7,12 +7,17 @@ lowering — round 3 found a real-TPU lowering rejection in a kernel that
 interpret-only CI had passed for two rounds (VERDICT r3 "latent Mosaic
 bug"). Multi-chip hardware is out of reach, so this drives the four
 xw-mode pallas_calls DIRECTLY (outside shard_map) on the one real chip
-with hand-crafted shard offsets and neighbour windows at a
-production-ish shard shape (512 x 256 body of the ethaline refine-8
-grid, x_ext = 8, TH = 64): every in-kernel lane concat, windowed roll,
+with hand-crafted shard offsets and neighbour windows at the
+production shard shape (512 x 256 = left-top shard of a (2, 2) mesh on
+a 1024 x 512 grid, x_ext = 8, TH = 64 so the tile grid iterates 8
+extension-window blocks): every in-kernel lane concat, windowed roll,
 global-coordinate mask, and sliced store the 2D mode adds gets a real
-Mosaic compile + execution. Finite outputs are asserted; numerics are
-CI's job. Writes validation/results/jrl_2d_compile_check.json.
+Mosaic compile + execution. The shard shape is ASSERTED (round 4 ran
+this at 64 x 32 because `JRLCConfig.eff_res` applies `refine` only for
+the ethaline shape — ADVICE r4; `shape="cylinder"` is kept because only
+the FLAT tip exercises the flat flux form, so the grid is scaled via
+`res` instead). Finite outputs are asserted; numerics are CI's job.
+Writes validation/results/jrl_2d_compile_check.json.
 """
 
 import json
@@ -40,19 +45,25 @@ SMOKE = os.environ.get("JRL_2D_SMOKE", "0") == "1"
 if SMOKE:
     jax.config.update("jax_platforms", "cpu")
 
-REFINE = 1 if SMOKE else 8
+# `refine` scales eff_res only for shape="ethaline" (JRLCConfig); the
+# cylinder grid is scaled through `res` directly so the shard really is
+# the production 512 x 256 (ADVICE r4: the round-4 run compiled 64 x 32)
+RES = (128, 64) if SMOKE else (1024, 512)
 visc = 39.4e-6
 RE = 1e-6
-ccfg = jrl.JRLCConfig(res=(128, 64), refine=REFINE, shape="cylinder",
+ccfg = jrl.JRLCConfig(res=RES, refine=1, shape="cylinder",
                       Re=RE, Pe=1.0, vel_obs_real=RE * visc / 12.5e-6)
-fcfg = jrl.JRLFluidConfig(res=(128, 64), refine=REFINE, shape="cylinder",
+fcfg = jrl.JRLFluidConfig(res=RES, refine=1, shape="cylinder",
                           Re=RE, vel_obs_real=RE * visc / 12.5e-6,
                           gravity_strength_real=0.0)
 H, W = ccfg.eff_res
 h, w = H // 2, W // 2  # left-top shard of a (2, 2) mesh
+if not SMOKE:
+    assert (h, w) == (512, 256), (h, w)
 X_EXT = 8
 TH = 64 if not SMOKE else 8
 assert h % TH == 0
+assert h // TH >= 2, "tile grid must iterate the extension-window blocks"
 n_t = h // TH
 xw = (X_EXT, w)
 off = jnp.asarray([0, 0], jnp.int32)  # ring-wrap garbage in the left
@@ -84,7 +95,7 @@ def sync(x):
 
 
 out = {"shard": [h, w], "x_ext": X_EXT, "tile_rows": TH,
-       "grid": f"cylinder refine {REFINE}"}
+       "grid": f"cylinder {H}x{W}"}
 
 cfg_cf = T._cfg_consts(fcfg)
 cfg_cc = T._c_cfg_consts(ccfg)
