@@ -56,28 +56,38 @@ CS2 = 1.0 / 3.0
 _VMEM_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
+# Python-float reciprocals of the lattice constants: TPU VPU divides
+# cost ~8 issue slots vs 1 for a multiply (validation/roofline.py), so
+# every divide-by-constant is folded to a reciprocal multiply at trace
+# time. ULP-level departure from the reference's `x / cs2` only
+# (collision_2d.cu:297-300); covered by the 2e-5 oracle tolerances.
+_ICS2 = 1.0 / CS2
+_HICS2 = 0.5 / CS2
+_HICS4 = 0.5 / (CS2 * CS2)
+_I12 = 1.0 / 12.0
+
+
 def _feq9(rho, ux, uy):
     """D2Q9 equilibrium, CSE'd across directions (r5 compute diet).
 
-    Bit-exact restructure of the per-q `rho*w*(1 + eu/CS2 +
-    0.5*eu^2/CS2^2 - 0.5*u^2/CS2)` loop: the u^2 term is q-independent
-    (1 divide instead of 9), REFL pairs share eu up to sign — IEEE
-    negation/division are sign-symmetric, so `(-eu)/c == -(eu/c)` and
-    `(0.5*(-eu))*(-eu) == (0.5*eu)*eu` exactly — and rho*w is shared
-    per weight class. 27 divides -> 9. The q=0 linear/quadratic terms
-    are exact +-0 that `1.0 + ...` absorbs.
+    Restructure of the per-q `rho*w*(1 + eu/CS2 + 0.5*eu^2/CS2^2 -
+    0.5*u^2/CS2)` loop (reference collision_2d.cu:297-300): the u^2
+    term is q-independent, REFL pairs share eu up to sign — IEEE
+    negation is sign-symmetric, so `0.5*(-eu)*(-eu) == 0.5*eu*eu`
+    exactly — rho*w is shared per weight class, and the /CS2 family is
+    folded into reciprocal constants. 27 divides -> 0. The q=0
+    linear/quadratic terms are exact +-0 that `1.0 + ...` absorbs.
     """
     uv = ux * ux + uy * uy
-    c = 0.5 * uv / CS2
-    ics4 = CS2 * CS2
+    c = uv * _HICS2
     s = ux + uy
     d = ux - uy
-    a_x, a_y = ux / CS2, uy / CS2
-    a_s, a_d = s / CS2, d / CS2
-    b_x = 0.5 * ux * ux / ics4
-    b_y = 0.5 * uy * uy / ics4
-    b_s = 0.5 * s * s / ics4
-    b_d = 0.5 * d * d / ics4
+    a_x, a_y = ux * _ICS2, uy * _ICS2
+    a_s, a_d = s * _ICS2, d * _ICS2
+    b_x = (ux * ux) * _HICS4
+    b_y = (uy * uy) * _HICS4
+    b_s = (s * s) * _HICS4
+    b_d = (d * d) * _HICS4
     r0 = rho * float(W_Q[0])
     r1 = rho * float(W_Q[1])
     r5 = rho * float(W_Q[5])
@@ -117,13 +127,17 @@ class _TileCtx:
     """
 
     def __init__(self, TH, W, at_y0, at_yH, at_x0, at_xW, is_fluid):
+        # at_y0/at_yH may be None: STATIC no-y-edge mode for the lean
+        # interior-tile kernels (the masks would be all-false there;
+        # None elides the override selects at trace time instead of
+        # emitting dead select_n ops)
         self.TH, self.W = TH, W
         self.at_y0, self.at_yH = at_y0, at_yH
         self.at_x0, self.at_xW = at_x0, at_xW
         self.is_fluid = is_fluid
         nf = jnp.logical_not(is_fluid)
-        self.at_y0_nf = at_y0 & nf
-        self.at_yH_nf = at_yH & nf
+        self.at_y0_nf = None if at_y0 is None else at_y0 & nf
+        self.at_yH_nf = None if at_yH is None else at_yH & nf
         self.at_xW_nf = at_xW & nf
         self._rolled = {}  # (id(pad), shift) -> (pad ref, rolled plane)
         self._memo = {}  # (kind, id(pad), ...) -> (pad ref, result)
@@ -150,9 +164,9 @@ class _TileCtx:
         if hit is None:
             rp = self._xroll(pad, shift)
             v = self.rows(rp, -ey)
-            if ey == 1:
+            if ey == 1 and self.at_y0_nf is not None:
                 v = jnp.where(self.at_y0_nf, self.rows(rp, 1), v)
-            elif ey == -1:
+            elif ey == -1 and self.at_yH_nf is not None:
                 v = jnp.where(self.at_yH_nf, self.rows(rp, -1), v)
             self._memo[key] = (pad, v)
             return v
@@ -187,9 +201,9 @@ class _TileCtx:
         if hit is None:
             rp = self._xroll(pad, shift)
             v = self.rows(rp, sy)
-            if sy == -1:
+            if sy == -1 and self.at_y0_nf is not None:
                 v = jnp.where(self.at_y0_nf, self.rows(rp, 0), v)
-            elif sy == 1:
+            elif sy == 1 and self.at_yH_nf is not None:
                 v = jnp.where(self.at_yH_nf, self.rows(rp, 0), v)
             self._memo[key] = (pad, v)
             return v
@@ -405,28 +419,31 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
         if q in AXIS_X_IN:
             ux = jnp.where(at_x0, -ux, ux)
         obs_uy = ctx.at_(obs_v1_full_p, ex, ey)
-        den = tq + 1.0
-        vel_tgt_x = vel_tgt_x + vmask * (tq * ux) / den
-        vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) / den
+        # one reciprocal per q shared by both components (divides cost
+        # ~8 slots; the vmask product commutes with the scale exactly)
+        inv_den = 1.0 / (tq + 1.0)
+        vel_tgt_x = vel_tgt_x + vmask * (tq * ux) * inv_den
+        vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) * inv_den
         qi = int(REFL[q])
         e1i = float(E[qi, 1])
         if e1i != 0.0:
             rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (e1i * obs_uy)
     safe_count = jnp.where(count > 0, count, 1.0)
-    u0 = vel_tgt_x / safe_count
-    u1 = vel_tgt_y / safe_count
+    inv_cnt = 1.0 / safe_count
+    u0 = vel_tgt_x * inv_cnt
+    u1 = vel_tgt_y * inv_cnt
 
     def grad12(pad):
         gxx = (
             4.0 * (ctx.at_(pad, 1, 0) - ctx.at_(pad, -1, 0))
             + (ctx.at_(pad, 1, 1) - ctx.at_(pad, -1, 1))
             + (ctx.at_(pad, 1, -1) - ctx.at_(pad, -1, -1))
-        ) / 12.0
+        ) * _I12
         gyy = (
             4.0 * (ctx.at_(pad, 0, 1) - ctx.at_(pad, 0, -1))
             + (ctx.at_(pad, 1, 1) - ctx.at_(pad, 1, -1))
             + (ctx.at_(pad, -1, 1) - ctx.at_(pad, -1, -1))
-        ) / 12.0
+        ) * _I12
         return gxx, gyy
 
     g00, g01 = grad12(vel_p0)
@@ -456,14 +473,14 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
             if c3 != 0.0:
                 pab = pab + t3 * c3
             pab = pab + t4 * c4
-            p_term = 0.5 * pab / (CS2 * CS2)
+            p_term = pab * _HICS4
             pab_memo[pkey] = p_term
         if e1 == 0.0:
-            m = (1.0 / CS2) * (u0 * e0)
+            m = _ICS2 * (u0 * e0)
         elif e0 == 0.0:
-            m = (1.0 / CS2) * (u1 * e1)
+            m = _ICS2 * (u1 * e1)
         else:
-            m = (1.0 / CS2) * (u0 * e0 + u1 * e1)
+            m = _ICS2 * (u0 * e0 + u1 * e1)
         w = float(W_Q[qi])
         wrho = wrho_memo.get(w)
         if wrho is None:
@@ -480,8 +497,9 @@ def _fluid_a_update(cfg_c, rows, t0, walks, walks_int, f_pad, vel_pad,
     mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
     mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
     safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
-    un0 = jnp.where(is_obs, vel0_m, mom_x / safe_rho)
-    un1 = jnp.where(is_obs, vel1_m, mom_y / safe_rho)
+    inv_rho = 1.0 / safe_rho
+    un0 = jnp.where(is_obs, vel0_m, mom_x * inv_rho)
+    un1 = jnp.where(is_obs, vel1_m, mom_y * inv_rho)
     return f_new, rho_n, un0, un1
 
 
@@ -708,9 +726,16 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
 
     r = xs
     ur = un0
-    A1_pad = -rho_p * vel_p0 / xs_p
-    # == -rho_n * ur / r: the mid planes are row slices of the padded
-    # ones, so A1 is a slice of A1_pad (one divide instead of two)
+    # reciprocals of the radius cover every /r in the source terms
+    # (A1, mu/r, ur/r, the 1/(2r) of A2): 4 divides -> 2. Mosaic
+    # gotchas (r5, bisected on-chip): the numerators must be
+    # materialized ones planes (`1.0 / xs_p` scalar-over-iota hits the
+    # array.h:480 limits<=dim CHECK), and the mid-rows reciprocal must
+    # NOT be a row slice of the padded one (slicing the row-constant
+    # lazy quotient hits the same CHECK) — so inv_r is its own divide.
+    inv_xs_p = jnp.ones((rows + 2, wf), jnp.float32) / xs_p
+    inv_r = jnp.ones((rows, wf), jnp.float32) / xs
+    A1_pad = (-rho_p * vel_p0) * inv_xs_p
     A1 = A1_pad[1:-1, :]
     visc = CS2 * (tau - 0.5)
     mu = visc * rho_n
@@ -733,7 +758,7 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
         p = no8[(-1, -1)] | no8[(1, -1)]
         gxx = gxx + jnp.where(p, 0.0, val(1, -1) - val(-1, -1))
         bx = bx | p
-        gxx = jnp.where(bx | is_obs, 0.0, gxx) / 12.0
+        gxx = jnp.where(bx | is_obs, 0.0, gxx) * _I12
         if not want_gy:  # 3 of 4 call sites discard gyy
             return gxx, None
 
@@ -748,7 +773,7 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
         p = no8[(-1, 1)] | no8[(-1, -1)]
         gyy = gyy + jnp.where(p, 0.0, val(-1, 1) - val(-1, -1))
         by = by | p
-        gyy = jnp.where(by | is_obs, 0.0, gyy) / 12.0
+        gyy = jnp.where(by | is_obs, 0.0, gyy) * _I12
         return gxx, gyy
 
     def div_free(m0_pad, m1_pad):
@@ -758,34 +783,178 @@ def _fluid_b_update(cfg_c, rows, t0, walks, walks_int, fq, rho_pad,
         d = d + 4.0 * (ctx.at_(m1_pad, 0, 1) - ctx.at_(m1_pad, 0, -1))
         d = d + ctx.at_(m1_pad, 1, 1) - ctx.at_(m1_pad, 1, -1)
         d = d + ctx.at_(m1_pad, -1, 1) - ctx.at_(m1_pad, -1, -1)
-        return jnp.where(is_obs, 0.0, d / 12.0)
+        return jnp.where(is_obs, 0.0, d * _I12)
 
     gu_x, _ = grad_blocked(vel_p0)
     gv_x, _ = grad_blocked(vel_p1)
     gp_x, _ = grad_blocked(pressure_pad)
     div_m = div_free(mom0_pad, mom1_pad)
-    A2 = (gp_x + div_m) * (1.0 / (2.0 * r))
+    A2 = (gp_x + div_m) * (0.5 * inv_r)
     ga1_x, ga1_y = grad_blocked(A1_pad, want_gy=True)
-    mu_r = mu / r
-    F2_0 = mu_r * (gu_x - ur / r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
+    mu_r = mu * inv_r
+    F2_0 = mu_r * (gu_x - ur * inv_r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
     F2_1 = mu_r * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
 
     # Gq source, CSE'd across directions: the e.F2 projection depends
-    # on e only up to sign within REFL pairs (IEEE negation/division
-    # are sign-symmetric), so 4 divides cover q=1..8; q=0's projection
+    # on e only up to sign within REFL pairs (IEEE negation is
+    # sign-symmetric), so 4 scaled forms cover q=1..8; q=0's projection
     # is an exact +-0 the sum absorbs. Same scheme as _feq9.
     inv_tau = 1.0 / tau
     base_g = A1 + A2
-    g_x = F2_0 / CS2
-    g_y = F2_1 / CS2
-    g_s = (F2_0 + F2_1) / CS2
-    g_d = (F2_0 - F2_1) / CS2
+    g_x = F2_0 * _ICS2
+    g_y = F2_1 * _ICS2
+    g_s = (F2_0 + F2_1) * _ICS2
+    g_d = (F2_0 - F2_1) * _ICS2
     proj = [None, g_x, g_y, -g_x, -g_y, g_s, -g_d, -g_s, g_d]
     f_out = []
     for q in range(9):
         Gq = (base_g if q == 0 else base_g + proj[q]) * float(W_Q[q])
         collided = fq[q] + inv_tau * (feq_n[q] - fq[q]) + Gq
         f_out.append(jnp.where(is_obs, fq[q], collided))
+    return f_out
+
+
+# ---------------------------------------------------------------------------
+# LEAN interior-tile bodies (r5): away from the moving tip and the
+# global y walls, a tile's flags are statically known — FLUID everywhere
+# except the col-(W-1) OUTFLOW column (`_geometry`: the tip obeys
+# gy < walks for every shape, the top wall is row H-1, row 0 is in tile
+# 0). There the full update collapses: no geometry evaluation, no
+# sub-grid bounce (no obstacle neighbours), no solid-fluid coupling, no
+# obstacle-pair stencil masks, no tip overwrites — the step is pulls +
+# x-edge rules + macro (A) and feq + axisymmetric source + BGK (B).
+# ~1480 -> ~560 issue slots/cell-step (roofline_jrl). The split runner
+# (`_fluid_k_split_chunk`) applies these to tiles whose 2k-row halo
+# reach is provably obstacle-free and the full kernel elsewhere.
+# ---------------------------------------------------------------------------
+
+
+def _fluid_a_lean(cfg_c, rows, f_pad):
+    """Interior-tile A update: streaming + x-edge rules + macro only.
+
+    Semantically equal to `_fluid_a_update` whenever no cell in the
+    window is OBSTACLE/row-0/row-(H-1) and no obstacle cell is within
+    stencil reach: nbr_obs is all-false (streamed == pulled), is_obs is
+    all-false (no bounce swap, no macro passthrough), the SFC valid
+    masks are all-false (reconstruction untouched), and of_mask reduces
+    to the col-(W-1) OUTFLOW column."""
+    W = cfg_c["W"]
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    is_fluid = jnp.logical_not(at_xW)
+    ctx = _TileCtx(rows, W, None, None, at_x0, at_xW, is_fluid)
+
+    f_new = [f_pad[0][1:-1, :]]
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        val = ctx.pull(f_pad[q], ex, ey)
+        if q in AXIS_X_IN:
+            val = jnp.where(at_x0, ctx.pull_x0(f_pad[int(MX[q])], ey), val)
+        f_new.append(val)
+
+    # OUTFLOW col W-1: copy all 9 from the inward (x) neighbour
+    for q in range(9):
+        f_new[q] = jnp.where(
+            at_xW, pltpu.roll(f_new[q], 1, axis=1), f_new[q]
+        )
+
+    rho_n = f_new[0]
+    for q in range(1, 9):
+        rho_n = rho_n + f_new[q]
+    mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+    mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    inv_rho = 1.0 / safe_rho
+    return f_new, rho_n, mom_x * inv_rho, mom_y * inv_rho
+
+
+def _fluid_b_lean(cfg_c, rows, fq, rho_pad, vel_pad):
+    """Interior-tile B update: axisymmetric BGK without the obstacle
+    machinery of `_fluid_b_update` (no geometry, no obstacle-pair
+    stencil masks, no OBSTACLE passthrough)."""
+    W = cfg_c["W"]
+    tau = cfg_c["tau"]
+    fy = cfg_c["fy"]
+    eps = 1e-10
+
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    xs = gx.astype(jnp.float32) + 0.5
+    gx_p = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 1)
+    xs_p = gx_p.astype(jnp.float32) + 0.5
+    is_fluid = jnp.logical_not(at_xW)
+    ctx = _TileCtx(rows, W, None, None, at_x0, at_xW, is_fluid)
+
+    rho_p = rho_pad
+    vel_p0, vel_p1 = vel_pad
+    rho_n = rho_p[1:-1, :]
+    un0 = vel_p0[1:-1, :]
+    un1 = vel_p1[1:-1, :]
+
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    sh = jnp.where(rho_n <= eps, 0.0, 0.5 * fy / safe_rho)
+    feq_n = _feq9(rho_n, un0, un1 + sh)
+
+    ur = un0
+    # materialized numerators + unsliced mid reciprocal: see the
+    # `_fluid_b_update` note (Mosaic lazy-array CHECK, bisected r5)
+    inv_xs_p = jnp.ones((rows + 2, W), jnp.float32) / xs_p
+    inv_r = jnp.ones((rows, W), jnp.float32) / xs
+    A1_pad = (-rho_p * vel_p0) * inv_xs_p
+    A1 = A1_pad[1:-1, :]
+    visc = CS2 * (tau - 0.5)
+    mu = visc * rho_n
+    pressure_pad = rho_p * CS2
+    mom0_pad = rho_p * vel_p0 * vel_p0
+    mom1_pad = rho_p * vel_p0 * vel_p1
+
+    def grad_x(pad):
+        return (
+            4.0 * (ctx.at_(pad, 1, 0) - ctx.at_(pad, -1, 0))
+            + (ctx.at_(pad, 1, 1) - ctx.at_(pad, -1, 1))
+            + (ctx.at_(pad, 1, -1) - ctx.at_(pad, -1, -1))
+        ) * _I12
+
+    def grad_y(pad):
+        return (
+            4.0 * (ctx.at_(pad, 0, 1) - ctx.at_(pad, 0, -1))
+            + (ctx.at_(pad, 1, 1) - ctx.at_(pad, 1, -1))
+            + (ctx.at_(pad, -1, 1) - ctx.at_(pad, -1, -1))
+        ) * _I12
+
+    def div_free(m0_pad, m1_pad):
+        d = 4.0 * (ctx.at_(m0_pad, 1, 0) - ctx.at_(m0_pad, -1, 0))
+        d = d + ctx.at_(m0_pad, 1, 1) - ctx.at_(m0_pad, -1, 1)
+        d = d + ctx.at_(m0_pad, 1, -1) - ctx.at_(m0_pad, -1, -1)
+        d = d + 4.0 * (ctx.at_(m1_pad, 0, 1) - ctx.at_(m1_pad, 0, -1))
+        d = d + ctx.at_(m1_pad, 1, 1) - ctx.at_(m1_pad, 1, -1)
+        d = d + ctx.at_(m1_pad, -1, 1) - ctx.at_(m1_pad, -1, -1)
+        return d * _I12
+
+    gu_x = grad_x(vel_p0)
+    gv_x = grad_x(vel_p1)
+    gp_x = grad_x(pressure_pad)
+    div_m = div_free(mom0_pad, mom1_pad)
+    A2 = (gp_x + div_m) * (0.5 * inv_r)
+    ga1_x = grad_x(A1_pad)
+    ga1_y = grad_y(A1_pad)
+    mu_r = mu * inv_r
+    F2_0 = mu_r * (gu_x - ur * inv_r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
+    F2_1 = mu_r * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
+
+    inv_tau = 1.0 / tau
+    base_g = A1 + A2
+    g_x = F2_0 * _ICS2
+    g_y = F2_1 * _ICS2
+    g_s = (F2_0 + F2_1) * _ICS2
+    g_d = (F2_0 - F2_1) * _ICS2
+    proj = [None, g_x, g_y, -g_x, -g_y, g_s, -g_d, -g_s, g_d]
+    f_out = []
+    for q in range(9):
+        Gq = (base_g if q == 0 else base_g + proj[q]) * float(W_Q[q])
+        f_out.append(fq[q] + inv_tau * (feq_n[q] - fq[q]) + Gq)
     return f_out
 
 
@@ -889,12 +1058,14 @@ def _tiled_chunk(f, rho, vel, start_step, cfg_key, TH, k):
 # ---------------------------------------------------------------------------
 
 
-def _make_fluid_k_kernel(cfg_c, TH, k, shard=False):
+def _make_fluid_k_kernel(cfg_c, TH, k, shard=False, tile_map=None):
     """k fused fluid steps over one TH-row tile with +-2k-row halos.
 
     ``shard=True``: SMEM global-row-offset scalar + (12, 8, W)
     cross-shard y-halo piece blocks (f x9 + vel x2 + rho, real rows
-    adjacent to the body) swapped in on the first/last tiles."""
+    adjacent to the body) swapped in on the first/last tiles.
+    ``tile_map``: grid-index -> tile-index remap for the lean-split
+    runner's FULL call (its grid covers only the boundary tiles)."""
     vel_obs = cfg_c["vel_obs"]
     inflow_h = cfg_c["inflow_h"]
     hk = 2 * k
@@ -909,7 +1080,7 @@ def _make_fluid_k_kernel(cfg_c, TH, k, shard=False):
              rho_m, rho_up, rho_dn, f_out, rho_out, vel_out) = refs
             tpP = btP = None
         pid = pl.program_id(0)
-        t0 = pid * TH
+        t0 = (tile_map(pid) if tile_map is not None else pid) * TH
         first = last = None
         if shard:
             t0 = t0 + off_ref[0]
@@ -1020,6 +1191,140 @@ def _fluid_k_chunk(f, rho, vel, start_step, cfg_key, TH, k, reps):
     return f, rho, vel
 
 
+def _make_fluid_k_lean_kernel(cfg_c, k):
+    """k fused LEAN fluid steps (interior tiles only): same shrinking
+    A/B level pyramid as `_make_fluid_k_kernel`, with the lean bodies.
+    Consumes ONLY f (the lean step never reads the stored vel/rho —
+    they are recomputed per level from f), so the call skips 3 input
+    planes of HBM traffic; the three trailing refs are the full call's
+    output buffers, aliased through so the untouched interior blocks of
+    this call's outputs land in the same arrays (input_output_aliases,
+    `_fluid_k_split_chunk`)."""
+    hk = 2 * k
+
+    def kernel(f_m, f_up, f_dn, _fb, _rb, _vb, f_out, rho_out, vel_out):
+        def winp(up, mid_, dn):
+            return jnp.concatenate(
+                [up[..., -hk:, :], mid_, dn[..., :hk, :]], axis=-2
+            )
+
+        TH = f_out.shape[-2]
+        f_cur = [winp(f_up[q], f_m[q], f_dn[q]) for q in range(9)]
+        v0_cur = v1_cur = r_cur = None
+        for lvl in range(k - 1, -1, -1):
+            ra = TH + 2 * (2 * lvl + 1)
+            f1, rho1, u0, u1 = _fluid_a_lean(cfg_c, ra, f_cur)
+            f_cur = _fluid_b_lean(
+                cfg_c, ra - 2, [a[1:-1, :] for a in f1], rho1,
+                (u0, u1),
+            )
+            v0_cur = u0[1:-1, :]
+            v1_cur = u1[1:-1, :]
+            r_cur = rho1[2:-2, :] if lvl else rho1[1:-1, :]
+
+        for q in range(9):
+            f_out[q] = f_cur[q]
+        rho_out[:] = r_cur
+        vel_out[0] = v0_cur
+        vel_out[1] = v1_cur
+
+    return kernel
+
+
+@partial(jax.jit,
+         static_argnames=("cfg_key", "TH", "k", "reps", "fr"))
+def _fluid_k_split_chunk(f, rho, vel, start_step, cfg_key, TH, k, reps, fr):
+    """``reps`` k-step passes, each as a FULL pass over the boundary
+    tiles {0..fr, n-1} plus a LEAN pass over the interior tiles
+    {fr+1..n-2}, combined without copies by aliasing the lean call's
+    outputs onto the full call's output buffers (the lean grid writes
+    only its own blocks; the aliased buffers keep the full tiles).
+    ``fr`` is chosen by the runner so every lean tile's 2k-row halo
+    reach is provably free of obstacle cells and global y walls."""
+    cfg_c = dict(cfg_key)
+    H, W = cfg_c["H"], cfg_c["W"]
+    n = H // TH
+    nl = n - 2 - fr  # lean tiles
+    assert nl >= 1
+    f32 = jnp.float32
+    upg, dng, m2, m3, h2, h3 = _k_specs(H, W, TH)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    g = TH // 8
+
+    def ti(i):  # full-call grid index -> tile index
+        return jnp.where(i <= fr, i, n - 1)
+
+    def m2t():
+        return pl.BlockSpec((TH, W), lambda i: (ti(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def m3t(c=9):
+        return pl.BlockSpec((c, TH, W), lambda i: (0, ti(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def h2t(im):
+        return pl.BlockSpec((8, W), lambda i, im=im: (im(ti(i)), 0),
+                            memory_space=pltpu.VMEM)
+
+    def h3t(im, c=9):
+        return pl.BlockSpec((c, 8, W), lambda i, im=im: (0, im(ti(i)), 0),
+                            memory_space=pltpu.VMEM)
+
+    # lean-call specs: tile index fr+1+i; halo groups from the adjacent
+    # tiles (no wrap needed — interior by construction)
+    def l2():
+        return pl.BlockSpec((TH, W), lambda i: (fr + 1 + i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def l3(c=9):
+        return pl.BlockSpec((c, TH, W), lambda i: (0, fr + 1 + i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def lh3(up):
+        if up:
+            return pl.BlockSpec(
+                (9, 8, W), lambda i: (0, (fr + 1 + i) * g - 1, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (9, 8, W), lambda i: (0, (fr + 2 + i) * g, 0),
+            memory_space=pltpu.VMEM)
+
+    kern_full = _make_fluid_k_kernel(cfg_c, TH, k, tile_map=ti)
+    kern_lean = _make_fluid_k_lean_kernel(cfg_c, k)
+    out_shapes = [
+        jax.ShapeDtypeStruct((9, H, W), f32),
+        jax.ShapeDtypeStruct((H, W), f32),
+        jax.ShapeDtypeStruct((2, H, W), f32),
+    ]
+
+    step = jnp.asarray(start_step, f32)
+    for _ in range(reps):
+        fF, rF, vF = pl.pallas_call(
+            kern_full,
+            grid=(fr + 2,),
+            in_specs=[smem, m3t(), h3t(upg), h3t(dng), m3t(2),
+                      h3t(upg, 2), h3t(dng, 2), m2t(), h2t(upg),
+                      h2t(dng)],
+            out_specs=[m3t(), m2t(), m3t(2)],
+            out_shape=out_shapes,
+            compiler_params=_VMEM_PARAMS,
+        )(step.reshape(1, 1), f, f, f, vel, vel, vel, rho, rho, rho)
+        f, rho, vel = pl.pallas_call(
+            kern_lean,
+            grid=(nl,),
+            in_specs=[l3(), lh3(True), lh3(False),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[l3(), l2(), l3(2)],
+            out_shape=out_shapes,
+            input_output_aliases={3: 0, 4: 1, 5: 2},
+            compiler_params=_VMEM_PARAMS,
+        )(f, f, f, fF, rF, vF)
+        step = step + float(k)
+    return f, rho, vel
+
+
 def pick_tile_rows(cfg) -> int:
     H, _ = cfg.eff_res
     for TH in (64, 32, 16, 8):
@@ -1029,30 +1334,64 @@ def pick_tile_rows(cfg) -> int:
 
 
 def make_tiled_fluid_runner(cfg, tile_rows: int | None = None,
-                            unroll: int = 8, k: int | None = None):
+                            unroll: int = 8, k: int | None = None,
+                            lean_split: bool = True):
     """Drop-in replacement for `models.jrl.make_fluid_runner` at sizes
     beyond the whole-domain fused kernel's VMEM budget. Same signature
     (state, fields, start_step, n); dispatches ceil(n/(unroll*k)) XLA
     programs. ``k`` > 1 selects the temporally-blocked kernel (k fluid
     steps per pallas call, +-2k-row halos; k <= 4); remainder steps
-    fall back to the single-step A/B pair."""
+    fall back to the single-step A/B pair.
+
+    ``lean_split`` (default on): tiles whose 2k-row halo reach is
+    provably obstacle-free — the tip obeys ``gy < walks`` for every
+    shape (`_geometry`), so everything safely above the advancing tip
+    and below the top wall — run the LEAN interior kernel
+    (`_fluid_a_lean`/`_fluid_b_lean`, ~2.6x fewer issue slots) while
+    the boundary tiles run the full kernel, combined copy-free via
+    output aliasing (`_fluid_k_split_chunk`). The frontier tile is a
+    host-static per-chunk choice (walks advances one row per
+    ~1/vel_obs >> unroll*k steps), so at most n distinct chunk
+    variants compile over a whole phase."""
     TH = tile_rows if tile_rows is not None else pick_tile_rows(cfg)
-    cfg_key = tuple(sorted(_cfg_consts(cfg).items()))
+    cfg_c = _cfg_consts(cfg)
+    cfg_key = tuple(sorted(cfg_c.items()))
+    H = cfg_c["H"]
+    n_tiles = H // TH
+    vel_obs = cfg_c["vel_obs"]
+    inflow_h = cfg_c["inflow_h"]
     kk = 1 if k is None else int(k)
     if not 1 <= kk <= 4:
         raise ValueError(f"k={kk} out of range (halo groups hold 2k <= 8)")
-    if kk > 1 and (TH % 8 or cfg.eff_res[0] % 8):
-        raise ValueError("k > 1 needs 8-aligned tiles and grid height")
+    if (kk > 1 or lean_split) and (TH % 8 or cfg.eff_res[0] % 8):
+        raise ValueError("k > 1 / lean_split need 8-aligned tiles and "
+                         "grid height")
+
+    def frontier(s_end):
+        """Last tile the FULL kernel must cover at steps < s_end: the
+        deepest row an obstacle cell can influence within one k-block
+        is walks_int - 1 + 2k (A+B widen by 2 rows/step), +1 rounding
+        guard."""
+        walks = inflow_h + float(s_end) * vel_obs
+        reach = int(walks + 0.5) + 2 * kk + 2
+        return reach // TH
 
     def run(state, fields, start_step, n: int):
         del fields
         f, rho, vel = state["f"], state["rho"], state["vel"]
         s = int(start_step)
         end = s + int(n)
-        while end - s >= kk and kk > 1:
+        while end - s >= kk:
             reps = min(unroll, (end - s) // kk)
-            f, rho, vel = _fluid_k_chunk(f, rho, vel, float(s), cfg_key,
-                                         TH, kk, reps)
+            fr = frontier(s + reps * kk) if lean_split else n_tiles
+            if fr <= n_tiles - 3:
+                f, rho, vel = _fluid_k_split_chunk(
+                    f, rho, vel, float(s), cfg_key, TH, kk, reps, fr)
+            elif kk > 1:
+                f, rho, vel = _fluid_k_chunk(f, rho, vel, float(s),
+                                             cfg_key, TH, kk, reps)
+            else:
+                break
             s += reps * kk
         while s < end:
             j = min(unroll, end - s)

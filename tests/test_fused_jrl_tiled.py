@@ -91,6 +91,50 @@ def test_kblocked_jrl_fluid_matches_unfused(shape, k, n):
 
 
 @pytest.mark.parametrize(
+    "shape,k",
+    [
+        ("45degree", 1),
+        ("cylinder", 1),
+        pytest.param("45degree", 2, marks=pytest.mark.slow),
+        pytest.param("cylinder", 2, marks=pytest.mark.slow),
+    ],
+)
+def test_lean_split_chunk_exact(shape, k):
+    """The lean/full split chunk (interior tiles on the lean kernels +
+    output aliasing, r5) must be EXACT vs the unsplit k-kernel chunk:
+    the full bodies' obstacle machinery reduces to identity selects on
+    tiles the frontier proves obstacle-free, so lean and full disagree
+    by nothing (not even summation order). Compared chunk-vs-chunk
+    within the k-kernel family (the A/B-pair chunk differs from it by
+    XLA:CPU fma contraction at the last ulp; the runner-level parity vs
+    the unfused step is test_tiled_jrl_fluid_matches_unfused)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled as tiled
+
+    # 80 rows / TH=8 = 10 tiles: both shapes' frontiers (inflow_h 40.5
+    # wedge / 20.5 flat) leave >= 1 lean tile
+    cfg = jrl.JRLFluidConfig(
+        res=(80, 32), Re=4.0, vel_obs_real=0.2848,
+        gravity_strength_real=-9.8, shape=shape,
+    )
+    state, fields = jrl.fluid_init(cfg)
+    cfg_key = tuple(sorted(tiled._cfg_consts(cfg).items()))
+    f, rho, vel = state["f"], state["rho"], state["vel"]
+    reps = 2
+    walks_end = cfg.inflow_height + reps * k * cfg.vel_obs
+    fr = (int(walks_end + 0.5) + 2 * k + 2) // 8
+    assert fr <= 10 - 3, "config must leave lean tiles"
+    with pltpu.force_tpu_interpret_mode():
+        base = tiled._fluid_k_chunk(f, rho, vel, 0.0, cfg_key, 8, k, reps)
+        split = tiled._fluid_k_split_chunk(
+            f, rho, vel, 0.0, cfg_key, 8, k, reps, fr)
+    for name, a, b in zip(("f", "rho", "vel"), base, split):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"{shape}:{name}")
+
+
+@pytest.mark.parametrize(
     "shape", ["45degree", pytest.param("cylinder", marks=pytest.mark.slow)]
 )
 def test_tiled_c_balance_matches_unfused(shape):

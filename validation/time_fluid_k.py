@@ -90,6 +90,8 @@ def main():
     for k in KS:
         runs[k] = _interp(
             tiled.make_tiled_fluid_runner(cfg, unroll=UNROLL, k=k))
+    run_nosplit = _interp(tiled.make_tiled_fluid_runner(
+        cfg, unroll=UNROLL, lean_split=False))
 
     # equivalence vs k=1 over EQ_STEPS (spans several halo refill cycles)
     ref = runs[1](dict(state), fields, 0, EQ_STEPS)
@@ -103,16 +105,31 @@ def main():
         print(f"k={k} equivalence over {EQ_STEPS} steps: "
               f"max|dev|={dev:.3g}", flush=True)
 
-    for k in sorted(runs):
-        run = runs[k]
+    raw = {}
 
+    def rate(run, start=0, key=None):
         def t():
-            _sync(run(dict(state), fields, 0, STEPS)["rho"])
+            _sync(run(dict(state), fields, start, STEPS)["rho"])
 
         t()  # warm compile
-        best = _best(t)
-        out[f"k{k}_mlups"] = round(cells * STEPS / best / 1e6, 1)
+        r = cells * STEPS / _best(t) / 1e6
+        if key:
+            raw[key] = r
+        return round(r, 1)
+
+    for k in sorted(runs):
+        out[f"k{k}_mlups"] = rate(runs[k], key=f"k{k}")
         print(f"k={k}: {out[f'k{k}_mlups']} MLUPS", flush=True)
+
+    # lean-split frontier dependence (r5): rate at start 0 (the tip low
+    # -> most tiles lean), at 60% travel, and with the split disabled.
+    # The production number for a whole phase is the time-average over
+    # the uniformly-advancing frontier.
+    out["k1_nosplit_mlups"] = rate(run_nosplit, key="ns")
+    print(f"k=1 nosplit: {out['k1_nosplit_mlups']} MLUPS", flush=True)
+    total = cfg.total_steps
+    out["k1_mid_mlups"] = rate(runs[1], start=int(total * 0.6), key="mid")
+    print(f"k=1 at 60% travel: {out['k1_mid_mlups']} MLUPS", flush=True)
 
     base = out.get("k1_mlups")
     for k in KS:
@@ -121,9 +138,14 @@ def main():
     # re-based sweep wall-clock: the fluid phase runs
     # cfg.total_steps = (H - 1 - inflow_h) / vel_obs steps (vel_obs
     # scales with Re, models/jrl.py:116); report hours at the production
-    # ethaline Re ladder for k=1 vs the measured best k
+    # ethaline Re ladder for k=1 vs the measured best k. The k=1 rate
+    # used for the ladder is the run-average over the advancing
+    # frontier: 1/rate averaged over {start, 60%, no-split(late)}
+    # thirds of the travel.
     best_k = max([1] + list(KS), key=lambda k: out[f"k{k}_mlups"])
     out["best_k"] = best_k
+    k1_avg = 3.0 / (1.0 / raw["k1"] + 1.0 / raw["mid"] + 1.0 / raw["ns"])
+    out["k1_run_avg_mlups"] = round(k1_avg, 1)
     ladder = {}
     for re_i in (1e-4, 1e-5, 1e-6):
         c_i = jrl.JRLFluidConfig(
@@ -132,12 +154,11 @@ def main():
         )
         ladder[f"Re{re_i:g}"] = {
             "total_steps": c_i.total_steps,
-            "hours_k1": round(
-                c_i.total_steps * cells / (out["k1_mlups"] * 1e6) / 3600.0,
-                3),
-            f"hours_k{best_k}": round(
+            "hours_k1_run_avg": round(
+                c_i.total_steps * cells / (k1_avg * 1e6) / 3600.0, 3),
+            f"hours_k{best_k}_at_start": round(
                 c_i.total_steps * cells
-                / (out[f"k{best_k}_mlups"] * 1e6) / 3600.0, 3),
+                / (raw[f"k{best_k}"] * 1e6) / 3600.0, 3),
         }
     out["fluid_phase_wall_clock"] = ladder
 
