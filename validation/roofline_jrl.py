@@ -77,6 +77,19 @@ def main():
     div_a = prim_a.get("div", 0.0)
     div_b = prim_b.get("div", 0.0)
 
+    # lean interior-tile bodies (r5 split)
+    def body_la(f_pad):
+        return tiled._fluid_a_lean(cfg_c, R, list(f_pad))
+
+    def body_lb(fq, rho_pad, vel_pad):
+        return tiled._fluid_b_lean(cfg_c, R, list(fq), rho_pad,
+                                   (vel_pad[0], vel_pad[1]))
+
+    per_la, _ = count_ops(jax.make_jaxpr(body_la)(f_pad), cells)
+    per_lb, _ = count_ops(
+        jax.make_jaxpr(body_lb)(fq, rho_pad, vel_pad), cells)
+    lean_total = sum(per_la.values()) + sum(per_lb.values())
+
     measured = None
     fk = os.path.join(RESULTS, "fluid_k.json")
     if os.path.exists(fk):
@@ -96,6 +109,7 @@ def main():
                   "total": round(tot_b, 1)},
             "total_slots": round(slots, 1),
             "divides_per_cell_step": round(div_a + div_b, 1),
+            "lean_pair_total": round(lean_total, 1),
         },
         "top_primitives_A": {k: round(v, 1)
                              for k, v in list(prim_a.items())[:14]},
