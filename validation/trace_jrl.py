@@ -75,8 +75,10 @@ def main():
                 "holds the untraced rates",
         "device_planes": summary,
     }
+    tag = os.environ.get("JRL_TRACE_TAG", "")
+    name = f"trace_jrl_{tag}.json" if tag else "trace_jrl.json"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results", "trace_jrl.json")
+                        "results", name)
     with open(path, "w") as f:
         json.dump(res, f, indent=1)
     print(json.dumps(res, indent=1))
