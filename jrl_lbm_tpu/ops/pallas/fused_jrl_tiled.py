@@ -958,6 +958,294 @@ def _fluid_b_lean(cfg_c, rows, fq, rho_pad, vel_pad):
     return f_out
 
 
+def _fluid_a_bt(cfg_c, rows, f_pad, vel_pad, rho_mid):
+    """BELOW-TIP A update for FLAT shapes: tiles that sit entirely
+    >= 2k+2 rows UNDER the advancing tip row (and exclude global rows
+    0/H-1). There the geometry is LANE-static: the tip occupies
+    gx < rg on every row (`_geometry` flat branch), phi reduces to the
+    column distance tx wherever any consumer reads it (cells where the
+    true phi is the row term ty are deep obstacle, where both forms
+    are < -eps and every consumer agrees), and the obstacle-neighbour
+    masks collapse to gx-compares — no geometry evaluation, no
+    obs-plane pulls, no row-varying selects. Exactly equal to
+    `_fluid_a_update` under those conditions (the split runner's
+    margins prove them per tile)."""
+    W = cfg_c["W"]
+    rg_i = jnp.int32(cfg_c["rg"])
+    vel_obs = cfg_c["vel_obs"]
+    box_r = cfg_c["box_r"]
+    rg = cfg_c["rg"]
+    eps = 1e-10
+
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    obs_l = gx < rg_i
+    is_fluid = jnp.logical_not(obs_l | at_xW)
+    ctx = _TileCtx(rows, W, None, None, at_x0, at_xW, is_fluid)
+
+    gx_p = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 1)
+    tip_p = gx_p < rg_i
+
+    xs = gx.astype(jnp.float32) + 0.5
+    phi = (xs - (rg - box_r)) - box_r  # tx
+
+    def shifted_obs(s):
+        """Lane form of the obstacle mask read at x + s (both the pull
+        at (x - ex) with the x0 axis collapse and the minmax-clamped
+        stencil read agree with the plain compare — boundary cases
+        derived in the r5 bt notes: gx+s < rg)."""
+        return (gx + s) < rg_i
+
+    vel_p0, vel_p1 = vel_pad
+    vel_p0 = jnp.where(tip_p, 0.0, vel_p0)
+    vel_p1 = jnp.where(tip_p, vel_obs, vel_p1)
+
+    fq = [f_pad[q][1:-1, :] for q in range(9)]
+
+    t = phi
+    w1a = 2.0 * t - 1.0
+    w1b = 2.0 - 2.0 * t
+    w2a = 2.0 * t
+    w2b = 1.0 - 2.0 * t
+    in_v1 = (t >= 0.5) & (t <= 1.0)
+    in_v2 = (t >= 0.0) & (t <= 0.5)
+    raw_in = [fq[0]] + [None] * 8
+    streamed = [fq[0]] + [None] * 8
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        val = ctx.pull(f_pad[q], ex, ey)
+        if q in AXIS_X_IN:
+            val = jnp.where(at_x0, ctx.pull_x0(f_pad[int(MX[q])], ey), val)
+        raw_in[q] = val
+        nbr_obs = shifted_obs(-ex)  # pulled mask: obstacle at x - ex
+        f_this = fq[int(REFL[q])]
+        nxt = ctx.pull(f_pad[int(REFL[q])], -ex, -ey)
+        if q in AXIS_X_OUT:
+            oq = int(MX[q])
+            nxt = jnp.where(
+                at_x0, ctx.pull_x0(f_pad[int(REFL[oq])], -ey), nxt
+            )
+        v1 = w1a * val + w1b * f_this
+        v2 = w2a * f_this + w2b * nxt
+        v_obs = jnp.where(in_v1, v1, jnp.where(in_v2, v2, f_this))
+        streamed[q] = jnp.where(nbr_obs, v_obs, val)
+
+    f_new = [fq[0]]
+    for p in range(1, 9):
+        f_new.append(jnp.where(obs_l, raw_in[int(REFL[p])], streamed[p]))
+
+    for q in range(9):  # OUTFLOW col W-1 only (no global row 0 here)
+        f_new[q] = jnp.where(
+            at_xW, pltpu.roll(f_new[q], 1, axis=1), f_new[q]
+        )
+
+    # ---- solid-fluid coupling (lane-static masks; real vel pulls) ----
+    t_ok = (phi > -eps) & (phi <= 1.0 + eps)
+    skip = obs_l | at_xW
+    rho_tgt = f_new[0]
+    for q in range(1, 9):
+        rho_tgt = rho_tgt + f_new[q]
+    vel_tgt_x = jnp.zeros((rows, W), jnp.float32)
+    vel_tgt_y = jnp.zeros((rows, W), jnp.float32)
+    count = jnp.zeros((rows, W), jnp.float32)
+    valid = [jnp.zeros((rows, W), bool)]
+    for q in range(1, 9):
+        ex, ey = int(E[q, 0]), int(E[q, 1])
+        nbr_obs = shifted_obs(ex)  # stencil read at x + ex
+        v_q = nbr_obs & t_ok
+        valid.append(v_q)
+        vmask = v_q.astype(jnp.float32)
+        count = count + vmask
+        tq = jnp.where(v_q, phi, 0.0)
+        ux = ctx.at_(vel_p0, -ex, -ey)
+        uy = ctx.at_(vel_p1, -ex, -ey)
+        if q in AXIS_X_IN:
+            ux = jnp.where(at_x0, -ux, ux)
+        obs_uy = jnp.where(shifted_obs(ex), vel_obs, 0.0)
+        inv_den = 1.0 / (tq + 1.0)
+        vel_tgt_x = vel_tgt_x + vmask * (tq * ux) * inv_den
+        vel_tgt_y = vel_tgt_y + vmask * (tq * uy + obs_uy) * inv_den
+        qi = int(REFL[q])
+        e1i = float(E[qi, 1])
+        if e1i != 0.0:
+            rho_tgt = rho_tgt + vmask * 6.0 * float(W_Q[q]) * (e1i * obs_uy)
+    safe_count = jnp.where(count > 0, count, 1.0)
+    inv_cnt = 1.0 / safe_count
+    u0 = vel_tgt_x * inv_cnt
+    u1 = vel_tgt_y * inv_cnt
+
+    def grad12(pad):
+        gxx = (
+            4.0 * (ctx.at_(pad, 1, 0) - ctx.at_(pad, -1, 0))
+            + (ctx.at_(pad, 1, 1) - ctx.at_(pad, -1, 1))
+            + (ctx.at_(pad, 1, -1) - ctx.at_(pad, -1, -1))
+        ) * _I12
+        gyy = (
+            4.0 * (ctx.at_(pad, 0, 1) - ctx.at_(pad, 0, -1))
+            + (ctx.at_(pad, 1, 1) - ctx.at_(pad, 1, -1))
+            + (ctx.at_(pad, -1, 1) - ctx.at_(pad, -1, -1))
+        ) * _I12
+        return gxx, gyy
+
+    g00, g01 = grad12(vel_p0)
+    g10, g11 = grad12(vel_p1)
+    tau = cfg_c["tau"]
+    t1 = u0 * u0 - CS2 * tau * (g00 + g00)
+    t2 = u1 * u0 - CS2 * tau * (g10 + g01)
+    t3 = u0 * u1 - CS2 * tau * (g01 + g10)
+    t4 = u1 * u1 - CS2 * tau * (g11 + g11)
+    skip_n = jnp.logical_not(skip)
+    pab_memo = {}
+    wrho_memo = {}
+    for q in range(1, 9):
+        qi = int(REFL[q])
+        e0, e1 = float(E[qi, 0]), float(E[qi, 1])
+        c1, c2, c3, c4 = e0 * e0 - CS2, e1 * e0, e0 * e1, e1 * e1 - CS2
+        pkey = (c1, c2, c3, c4)
+        p_term = pab_memo.get(pkey)
+        if p_term is None:
+            pab = t1 * c1
+            if c2 != 0.0:
+                pab = pab + t2 * c2
+            if c3 != 0.0:
+                pab = pab + t3 * c3
+            pab = pab + t4 * c4
+            p_term = pab * _HICS4
+            pab_memo[pkey] = p_term
+        if e1 == 0.0:
+            m = _ICS2 * (u0 * e0)
+        elif e0 == 0.0:
+            m = _ICS2 * (u1 * e1)
+        else:
+            m = _ICS2 * (u0 * e0 + u1 * e1)
+        w = float(W_Q[qi])
+        wrho = wrho_memo.get(w)
+        if wrho is None:
+            wrho = w * rho_tgt
+            wrho_memo[w] = wrho
+        recon = wrho * (1.0 + m + p_term)
+        f_new[qi] = jnp.where(valid[q] & skip_n, recon, f_new[qi])
+
+    macro_rho = f_new[0]
+    for q in range(1, 9):
+        macro_rho = macro_rho + f_new[q]
+    rho_n = jnp.where(obs_l, rho_mid, macro_rho)
+    mom_x = f_new[1] - f_new[3] + f_new[5] - f_new[6] - f_new[7] + f_new[8]
+    mom_y = f_new[2] - f_new[4] + f_new[5] + f_new[6] - f_new[7] - f_new[8]
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    inv_rho = 1.0 / safe_rho
+    # obstacle cells carry the tip-overwritten velocity: exactly
+    # (0, vel_obs) on a flat tip
+    un0 = jnp.where(obs_l, 0.0, mom_x * inv_rho)
+    un1 = jnp.where(obs_l, vel_obs, mom_y * inv_rho)
+    return f_new, rho_n, un0, un1
+
+
+def _fluid_b_bt(cfg_c, rows, fq, rho_pad, vel_pad):
+    """BELOW-TIP B update for FLAT shapes: `_fluid_b_update` with the
+    lane-static flags of `_fluid_a_bt` (no geometry evaluation; the
+    obstacle-pair stencil masks are gx-compares)."""
+    W = cfg_c["W"]
+    rg_i = jnp.int32(cfg_c["rg"])
+    tau = cfg_c["tau"]
+    fy = cfg_c["fy"]
+    eps = 1e-10
+
+    gx = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+    at_x0 = gx == 0
+    at_xW = gx == W - 1
+    xs = gx.astype(jnp.float32) + 0.5
+    gx_p = jax.lax.broadcasted_iota(jnp.int32, (rows + 2, W), 1)
+    xs_p = gx_p.astype(jnp.float32) + 0.5
+    obs_l = gx < rg_i
+    is_fluid = jnp.logical_not(obs_l | at_xW)
+    is_obs = obs_l
+    ctx = _TileCtx(rows, W, None, None, at_x0, at_xW, is_fluid)
+
+    def shifted_obs(s):
+        return (gx + s) < rg_i
+
+    rho_p = rho_pad
+    vel_p0, vel_p1 = vel_pad
+    rho_n = rho_p[1:-1, :]
+    un0 = vel_p0[1:-1, :]
+    un1 = vel_p1[1:-1, :]
+
+    safe_rho = jnp.where(rho_n == 0, 1.0, rho_n)
+    sh = jnp.where(rho_n <= eps, 0.0, 0.5 * fy / safe_rho)
+    feq_n = _feq9(rho_n, un0, un1 + sh)
+
+    ur = un0
+    inv_xs_p = jnp.ones((rows + 2, W), jnp.float32) / xs_p
+    inv_r = jnp.ones((rows, W), jnp.float32) / xs
+    A1_pad = (-rho_p * vel_p0) * inv_xs_p
+    A1 = A1_pad[1:-1, :]
+    visc = CS2 * (tau - 0.5)
+    mu = visc * rho_n
+    pressure_pad = rho_p * CS2
+    mom0_pad = rho_p * vel_p0 * vel_p0
+    mom1_pad = rho_p * vel_p0 * vel_p1
+
+    # obstacle-pair masks: lane compares (row shifts don't change the
+    # below-tip obstacle pattern)
+    px = shifted_obs(1) | shifted_obs(-1)
+
+    def grad_blocked(pad, want_gy=False):
+        def val(sx, sy):
+            return ctx.at_(pad, sx, sy)
+
+        gxx = jnp.where(px, 0.0, 4.0 * (val(1, 0) - val(-1, 0)))
+        gxx = gxx + jnp.where(px, 0.0, val(1, 1) - val(-1, 1))
+        gxx = gxx + jnp.where(px, 0.0, val(1, -1) - val(-1, -1))
+        gxx = jnp.where(px | is_obs, 0.0, gxx) * _I12
+        if not want_gy:
+            return gxx, None
+
+        # y-pairs share the same column -> pair mask is obs_l itself
+        gyy = jnp.where(obs_l, 0.0, 4.0 * (val(0, 1) - val(0, -1)))
+        gyy = gyy + jnp.where(
+            shifted_obs(1), 0.0, val(1, 1) - val(1, -1))
+        gyy = gyy + jnp.where(
+            shifted_obs(-1), 0.0, val(-1, 1) - val(-1, -1))
+        gyy = jnp.where(obs_l | shifted_obs(1) | shifted_obs(-1) | is_obs,
+                        0.0, gyy) * _I12
+        return gxx, gyy
+
+    def div_free(m0_pad, m1_pad):
+        d = 4.0 * (ctx.at_(m0_pad, 1, 0) - ctx.at_(m0_pad, -1, 0))
+        d = d + ctx.at_(m0_pad, 1, 1) - ctx.at_(m0_pad, -1, 1)
+        d = d + ctx.at_(m0_pad, 1, -1) - ctx.at_(m0_pad, -1, -1)
+        d = d + 4.0 * (ctx.at_(m1_pad, 0, 1) - ctx.at_(m1_pad, 0, -1))
+        d = d + ctx.at_(m1_pad, 1, 1) - ctx.at_(m1_pad, 1, -1)
+        d = d + ctx.at_(m1_pad, -1, 1) - ctx.at_(m1_pad, -1, -1)
+        return jnp.where(is_obs, 0.0, d * _I12)
+
+    gu_x, _ = grad_blocked(vel_p0)
+    gv_x, _ = grad_blocked(vel_p1)
+    gp_x, _ = grad_blocked(pressure_pad)
+    div_m = div_free(mom0_pad, mom1_pad)
+    A2 = (gp_x + div_m) * (0.5 * inv_r)
+    ga1_x, ga1_y = grad_blocked(A1_pad, want_gy=True)
+    mu_r = mu * inv_r
+    F2_0 = mu_r * (gu_x - ur * inv_r) + un0 * A1 - (tau - 1.0) * CS2 * ga1_x
+    F2_1 = mu_r * gv_x + un1 * A1 - (tau - 1.0) * CS2 * ga1_y
+
+    inv_tau = 1.0 / tau
+    base_g = A1 + A2
+    g_x = F2_0 * _ICS2
+    g_y = F2_1 * _ICS2
+    g_s = (F2_0 + F2_1) * _ICS2
+    g_d = (F2_0 - F2_1) * _ICS2
+    proj = [None, g_x, g_y, -g_x, -g_y, g_s, -g_d, -g_s, g_d]
+    f_out = []
+    for q in range(9):
+        Gq = (base_g if q == 0 else base_g + proj[q]) * float(W_Q[q])
+        collided = fq[q] + inv_tau * (feq_n[q] - fq[q]) + Gq
+        f_out.append(jnp.where(is_obs, fq[q], collided))
+    return f_out
+
+
 def _cfg_consts(cfg) -> dict:
     H, W = cfg.eff_res
     return dict(
@@ -1231,28 +1519,77 @@ def _make_fluid_k_lean_kernel(cfg_c, k):
     return kernel
 
 
+def _make_fluid_k_bt_kernel(cfg_c, k):
+    """k fused BELOW-TIP fluid steps (flat shapes, tiles fully under
+    the tip): the `_make_fluid_k_kernel` pyramid with the bt bodies.
+    Same input set as the full kernel minus the step scalar (the bt
+    geometry is walks-independent); three trailing alias refs as in
+    the lean kernel."""
+    hk = 2 * k
+
+    def kernel(f_m, f_up, f_dn, vel_m, vel_up, vel_dn,
+               rho_m, rho_up, rho_dn, _fb, _rb, _vb,
+               f_out, rho_out, vel_out):
+        def winp(up, mid_, dn):
+            return jnp.concatenate(
+                [up[..., -hk:, :], mid_, dn[..., :hk, :]], axis=-2
+            )
+
+        TH = f_out.shape[-2]
+        f_cur = [winp(f_up[q], f_m[q], f_dn[q]) for q in range(9)]
+        v0_cur = winp(vel_up[0], vel_m[0], vel_dn[0])
+        v1_cur = winp(vel_up[1], vel_m[1], vel_dn[1])
+        r_cur = winp(rho_up[:], rho_m[:], rho_dn[:])[1:-1, :]
+
+        for lvl in range(k - 1, -1, -1):
+            ra = TH + 2 * (2 * lvl + 1)
+            f1, rho1, u0, u1 = _fluid_a_bt(
+                cfg_c, ra, f_cur, (v0_cur, v1_cur), r_cur)
+            f_cur = _fluid_b_bt(
+                cfg_c, ra - 2, [a[1:-1, :] for a in f1], rho1, (u0, u1))
+            v0_cur = u0[1:-1, :]
+            v1_cur = u1[1:-1, :]
+            r_cur = rho1[2:-2, :] if lvl else rho1[1:-1, :]
+
+        for q in range(9):
+            f_out[q] = f_cur[q]
+        rho_out[:] = r_cur
+        vel_out[0] = v0_cur
+        vel_out[1] = v1_cur
+
+    return kernel
+
+
 @partial(jax.jit,
-         static_argnames=("cfg_key", "TH", "k", "reps", "fr"))
-def _fluid_k_split_chunk(f, rho, vel, start_step, cfg_key, TH, k, reps, fr):
+         static_argnames=("cfg_key", "TH", "k", "reps", "fr", "fb"))
+def _fluid_k_split_chunk(f, rho, vel, start_step, cfg_key, TH, k, reps, fr,
+                         fb=0):
     """``reps`` k-step passes, each as a FULL pass over the boundary
-    tiles {0..fr, n-1} plus a LEAN pass over the interior tiles
-    {fr+1..n-2}, combined without copies by aliasing the lean call's
-    outputs onto the full call's output buffers (the lean grid writes
-    only its own blocks; the aliased buffers keep the full tiles).
-    ``fr`` is chosen by the runner so every lean tile's 2k-row halo
-    reach is provably free of obstacle cells and global y walls."""
+    tiles {0, fb+1..fr, n-1}, an optional BELOW-TIP pass over tiles
+    {1..fb} (flat shapes only; fb=0 disables), plus a LEAN pass over
+    the interior tiles {fr+1..n-2} — combined without copies by
+    aliasing each later call's outputs onto the previous call's output
+    buffers (each grid writes only its own blocks; the aliased buffers
+    keep the rest). ``fr``/``fb`` are chosen by the runner so every
+    lean tile's 2k-row halo reach is provably free of obstacle cells
+    and global y walls, and every bt tile's reach lies fully under the
+    tip row."""
     cfg_c = dict(cfg_key)
     H, W = cfg_c["H"], cfg_c["W"]
     n = H // TH
-    nl = n - 2 - fr  # lean tiles
-    assert nl >= 1
+    nl = n - 2 - fr  # lean tiles (0 = bt-only split, late travel)
+    assert nl >= 0 and (nl > 0 or fb > 0)
+    assert 0 <= fb <= fr and (fb == 0 or TH > 2 * k)
     f32 = jnp.float32
     upg, dng, m2, m3, h2, h3 = _k_specs(H, W, TH)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     g = TH // 8
 
     def ti(i):  # full-call grid index -> tile index
-        return jnp.where(i <= fr, i, n - 1)
+        if fb == 0:
+            return jnp.where(i <= fr, i, n - 1)
+        return jnp.where(
+            i == 0, 0, jnp.where(i <= fr - fb, fb + i, n - 1))
 
     def m2t():
         return pl.BlockSpec((TH, W), lambda i: (ti(i), 0),
@@ -1289,19 +1626,45 @@ def _fluid_k_split_chunk(f, rho, vel, start_step, cfg_key, TH, k, reps, fr):
             (9, 8, W), lambda i: (0, (fr + 2 + i) * g, 0),
             memory_space=pltpu.VMEM)
 
+    # bt-call specs: tile index 1 + i (tiles {1..fb}; interior, no wrap)
+    def bti(i):
+        return 1 + i
+
+    def b2s():
+        return pl.BlockSpec((TH, W), lambda i: (bti(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def b3s(c=9):
+        return pl.BlockSpec((c, TH, W), lambda i: (0, bti(i), 0),
+                            memory_space=pltpu.VMEM)
+
+    def bh2(up):
+        return pl.BlockSpec(
+            (8, W), lambda i: (bti(i) * g - 1 if up else
+                               (bti(i) + 1) * g, 0),
+            memory_space=pltpu.VMEM)
+
+    def bh3(up, c=9):
+        return pl.BlockSpec(
+            (c, 8, W), lambda i: (0, bti(i) * g - 1 if up else
+                                  (bti(i) + 1) * g, 0),
+            memory_space=pltpu.VMEM)
+
     kern_full = _make_fluid_k_kernel(cfg_c, TH, k, tile_map=ti)
+    kern_bt = _make_fluid_k_bt_kernel(cfg_c, k) if fb else None
     kern_lean = _make_fluid_k_lean_kernel(cfg_c, k)
     out_shapes = [
         jax.ShapeDtypeStruct((9, H, W), f32),
         jax.ShapeDtypeStruct((H, W), f32),
         jax.ShapeDtypeStruct((2, H, W), f32),
     ]
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     step = jnp.asarray(start_step, f32)
     for _ in range(reps):
         fF, rF, vF = pl.pallas_call(
             kern_full,
-            grid=(fr + 2,),
+            grid=(fr - fb + 2,),
             in_specs=[smem, m3t(), h3t(upg), h3t(dng), m3t(2),
                       h3t(upg, 2), h3t(dng, 2), m2t(), h2t(upg),
                       h2t(dng)],
@@ -1309,18 +1672,32 @@ def _fluid_k_split_chunk(f, rho, vel, start_step, cfg_key, TH, k, reps, fr):
             out_shape=out_shapes,
             compiler_params=_VMEM_PARAMS,
         )(step.reshape(1, 1), f, f, f, vel, vel, vel, rho, rho, rho)
-        f, rho, vel = pl.pallas_call(
-            kern_lean,
-            grid=(nl,),
-            in_specs=[l3(), lh3(True), lh3(False),
-                      pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=[l3(), l2(), l3(2)],
-            out_shape=out_shapes,
-            input_output_aliases={3: 0, 4: 1, 5: 2},
-            compiler_params=_VMEM_PARAMS,
-        )(f, f, f, fF, rF, vF)
+        if fb:
+            fF, rF, vF = pl.pallas_call(
+                kern_bt,
+                grid=(fb,),
+                in_specs=[b3s(), bh3(True), bh3(False), b3s(2),
+                          bh3(True, 2), bh3(False, 2), b2s(),
+                          bh2(True), bh2(False),
+                          any_spec, any_spec, any_spec],
+                out_specs=[b3s(), b2s(), b3s(2)],
+                out_shape=out_shapes,
+                input_output_aliases={9: 0, 10: 1, 11: 2},
+                compiler_params=_VMEM_PARAMS,
+            )(f, f, f, vel, vel, vel, rho, rho, rho, fF, rF, vF)
+        if nl:
+            f, rho, vel = pl.pallas_call(
+                kern_lean,
+                grid=(nl,),
+                in_specs=[l3(), lh3(True), lh3(False),
+                          any_spec, any_spec, any_spec],
+                out_specs=[l3(), l2(), l3(2)],
+                out_shape=out_shapes,
+                input_output_aliases={3: 0, 4: 1, 5: 2},
+                compiler_params=_VMEM_PARAMS,
+            )(f, f, f, fF, rF, vF)
+        else:
+            f, rho, vel = fF, rF, vF
         step = step + float(k)
     return f, rho, vel
 
@@ -1367,6 +1744,8 @@ def make_tiled_fluid_runner(cfg, tile_rows: int | None = None,
         raise ValueError("k > 1 / lean_split need 8-aligned tiles and "
                          "grid height")
 
+    flat = cfg_c["flat"]
+
     def frontier(s_end):
         """Last tile the FULL kernel must cover at steps < s_end: the
         deepest row an obstacle cell can influence within one k-block
@@ -1376,6 +1755,16 @@ def make_tiled_fluid_runner(cfg, tile_rows: int | None = None,
         reach = int(walks + 0.5) + 2 * kk + 2
         return reach // TH
 
+    def below(s_start):
+        """Last tile the BELOW-TIP kernel may cover at steps >= s_start
+        (flat shapes): every computed row of the tile's 2k-row pyramid
+        reach must stay >= 2 rows under the tip row for the whole
+        chunk, i.e. (t+1)*TH - 1 + 2k + 2 <= walks_int(start) - 1."""
+        if not (flat and TH > 2 * kk):
+            return 0
+        wi = int(inflow_h + float(s_start) * vel_obs + 0.5)
+        return max(0, (wi - 2 * kk - 2) // TH - 1)
+
     def run(state, fields, start_step, n: int):
         del fields
         f, rho, vel = state["f"], state["rho"], state["vel"]
@@ -1384,9 +1773,17 @@ def make_tiled_fluid_runner(cfg, tile_rows: int | None = None,
         while end - s >= kk:
             reps = min(unroll, (end - s) // kk)
             fr = frontier(s + reps * kk) if lean_split else n_tiles
+            fb = min(below(s), n_tiles - 2) if lean_split else 0
             if fr <= n_tiles - 3:
                 f, rho, vel = _fluid_k_split_chunk(
-                    f, rho, vel, float(s), cfg_key, TH, kk, reps, fr)
+                    f, rho, vel, float(s), cfg_key, TH, kk, reps, fr,
+                    min(fb, fr))
+            elif fb >= 1:
+                # late travel: no lean tiles left, but (flat shapes)
+                # most tiles sit fully under the tip -> bt-only split
+                f, rho, vel = _fluid_k_split_chunk(
+                    f, rho, vel, float(s), cfg_key, TH, kk, reps,
+                    n_tiles - 2, fb)
             elif kk > 1:
                 f, rho, vel = _fluid_k_chunk(f, rho, vel, float(s),
                                              cfg_key, TH, kk, reps)

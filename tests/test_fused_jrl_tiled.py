@@ -135,6 +135,48 @@ def test_lean_split_chunk_exact(shape, k):
 
 
 @pytest.mark.parametrize(
+    "k", [1, pytest.param(2, marks=pytest.mark.slow)]
+)
+def test_below_tip_split_chunk_exact(k):
+    """The FLAT below-tip tile class (r5): tiles fully under the tip
+    run `_fluid_a_bt`/`_fluid_b_bt` (lane-static geometry). Both the
+    3-way split (full + bt + lean) and the late-travel bt-only split
+    must be EXACT vs the unsplit k-kernel chunk. start_step is chosen
+    so the tip sits mid-grid: bt tiles 1..3, lean tiles fr+1..8."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from jrl_lbm_tpu.ops.pallas import fused_jrl_tiled as tiled
+
+    cfg = jrl.JRLFluidConfig(
+        res=(80, 32), Re=4.0, vel_obs_real=0.2848,
+        gravity_strength_real=-9.8, shape="cylinder",
+    )
+    state, fields = jrl.fluid_init(cfg)
+    cfg_key = tuple(sorted(tiled._cfg_consts(cfg).items()))
+    f, rho, vel = state["f"], state["rho"], state["vel"]
+    v = cfg.vel_obs
+    reps = 2
+    s0 = int((40.0 - cfg.inflow_height) / v)
+    wi = int(cfg.inflow_height + s0 * v + 0.5)
+    fb = max(0, (wi - 2 * k - 2) // 8 - 1)
+    fr = (int(cfg.inflow_height + (s0 + reps * k) * v + 0.5)
+          + 2 * k + 2) // 8
+    assert fb >= 1 and fr <= 7, (fb, fr)
+    with pltpu.force_tpu_interpret_mode():
+        base = tiled._fluid_k_chunk(f, rho, vel, float(s0), cfg_key, 8,
+                                    k, reps)
+        split = tiled._fluid_k_split_chunk(
+            f, rho, vel, float(s0), cfg_key, 8, k, reps, fr, fb)
+        btonly = tiled._fluid_k_split_chunk(
+            f, rho, vel, float(s0), cfg_key, 8, k, reps, 8, fb)
+    for name, o in (("3way", split), ("btonly", btonly)):
+        for arr_name, a, b in zip(("f", "rho", "vel"), base, o):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"{name}:{arr_name}")
+
+
+@pytest.mark.parametrize(
     "shape", ["45degree", pytest.param("cylinder", marks=pytest.mark.slow)]
 )
 def test_tiled_c_balance_matches_unfused(shape):
