@@ -190,14 +190,116 @@ def _step_b(off, step_arr, f1, rho1, vel1, tpB, btB, cfg_c, TH, h,
     )(*args)
 
 
+def _make_kernel_a_lean_sh(cfg_c, TH):
+    """Per-shard LEAN A kernel (r5): interior shards provably above the
+    tip frontier run `fused_jrl_tiled._fluid_a_lean` — streaming +
+    x-edge rules + macro only — with the cross-shard y-halo piece
+    stitching of `_make_kernel_a(shard=True)` (pieces carry values
+    only, which is all the lean body reads)."""
+
+    def kernel(f_tp, f_m, f_bt, tpP, btP, f_out, rho_out, vel_out):
+        pid = pl.program_id(0)
+        first = pid == 0
+        last = pid == pl.num_programs(0) - 1
+
+        def stitch(tp, mid_, bt, pi):
+            top = jnp.where(first, tpP[pi, -1:, :], tp[..., -1:, :])
+            bot = jnp.where(last, btP[pi, 0:1, :], bt[..., 0:1, :])
+            return jnp.concatenate([top, mid_, bot], axis=-2)
+
+        f_pad = [stitch(f_tp[q], f_m[q], f_bt[q], q) for q in range(9)]
+        f_new, rho_n, un0, un1 = T._fluid_a_lean(cfg_c, TH, f_pad)
+        for q in range(9):
+            f_out[q] = f_new[q]
+        rho_out[:] = rho_n
+        vel_out[0] = un0
+        vel_out[1] = un1
+
+    return kernel
+
+
+def _make_kernel_b_lean_sh(cfg_c, TH):
+    """Per-shard LEAN B kernel: `_fluid_b_lean` with stitched
+    cross-shard rho/vel halo pieces ((3, 8, w): rho + vel x2)."""
+
+    def kernel(f_m, rho_tp, rho_m, rho_bt, vel_tp, vel_m, vel_bt,
+               tpP, btP, f_out):
+        pid = pl.program_id(0)
+        first = pid == 0
+        last = pid == pl.num_programs(0) - 1
+
+        def stitch(tp, mid_, bt, pi):
+            top = jnp.where(first, tpP[pi, -1:, :], tp[..., -1:, :])
+            bot = jnp.where(last, btP[pi, 0:1, :], bt[..., 0:1, :])
+            return jnp.concatenate([top, mid_, bot], axis=-2)
+
+        rho_pad = stitch(rho_tp[:], rho_m[:], rho_bt[:], 0)
+        v0_pad = stitch(vel_tp[0], vel_m[0], vel_bt[0], 1)
+        v1_pad = stitch(vel_tp[1], vel_m[1], vel_bt[1], 2)
+        fq = [f_m[q] for q in range(9)]
+        f_new = T._fluid_b_lean(cfg_c, TH, fq, rho_pad, (v0_pad, v1_pad))
+        for q in range(9):
+            f_out[q] = f_new[q]
+
+    return kernel
+
+
+def _step_a_lean(f, tpA, btA, cfg_c, TH, h, w, interpret):
+    n = h // TH
+    _, up, dn, b2, b3 = T._specs(h, w, TH)
+    mid = lambda i: i  # noqa: E731
+    pb = pl.BlockSpec((11, 8, w), lambda i: (0, 0, 0))
+    ka = _make_kernel_a_lean_sh(cfg_c, TH)
+    return pl.pallas_call(
+        ka,
+        grid=(n,),
+        in_specs=[b3(up), b3(mid), b3(dn), pb, pb],
+        out_specs=[b3(mid), b2(mid), b3(mid, 2)],
+        out_shape=[
+            jax.ShapeDtypeStruct((9, h, w), f32),
+            jax.ShapeDtypeStruct((h, w), f32),
+            jax.ShapeDtypeStruct((2, h, w), f32),
+        ],
+        compiler_params=T._VMEM_PARAMS,
+        interpret=interpret,
+    )(f, f, f, tpA, btA)
+
+
+def _step_b_lean(f1, rho1, vel1, tpB, btB, cfg_c, TH, h, w, interpret):
+    n = h // TH
+    _, up, dn, b2, b3 = T._specs(h, w, TH)
+    mid = lambda i: i  # noqa: E731
+    pb = pl.BlockSpec((3, 8, w), lambda i: (0, 0, 0))
+    kb = _make_kernel_b_lean_sh(cfg_c, TH)
+    return pl.pallas_call(
+        kb,
+        grid=(n,),
+        in_specs=[b3(mid), b2(up), b2(mid), b2(dn), b3(up, 2),
+                  b3(mid, 2), b3(dn, 2), pb, pb],
+        out_specs=b3(mid),
+        out_shape=jax.ShapeDtypeStruct((9, h, w), f32),
+        compiler_params=T._VMEM_PARAMS,
+        interpret=interpret,
+    )(f1, rho1, rho1, rho1, vel1, vel1, vel1, tpB, btB)
+
+
 def make_sharded_tiled_fluid_runner(cfg, mesh, tile_rows=None, unroll=8,
-                                    interpret=False, x_ext=None):
+                                    interpret=False, x_ext=None,
+                                    lean_split=True):
     """Sharded twin of `fused_jrl_tiled.make_tiled_fluid_runner`: same
     (state, fields, start_step, n) contract with GLOBAL arrays (jit +
     shard_map partition them onto the mesh). 2D (nx > 1) meshes run the
     extended-window mode: each kernel call also receives the x
     neighbours' ``x_ext``-wide edge blocks (ppermute) and computes on
-    width w + 2*x_ext, slicing the exact body lanes into the outputs."""
+    width w + 2*x_ext, slicing the exact body lanes into the outputs.
+
+    ``lean_split`` (row meshes with ny >= 3, r5): interior shards whose
+    rows sit provably above the tip frontier run the LEAN per-shard
+    kernels (`_step_a_lean`/`_step_b_lean`) via a per-shard
+    `lax.cond` — the predicate is uniform within a shard and the
+    ppermute halo exchanges stay OUTSIDE the cond (collectives must be
+    executed by every mesh member), so SPMD is preserved. Inert on 1x1
+    and 2D meshes."""
     ny, nx = mesh.devices.shape
     H, W = cfg.eff_res
     assert H % ny == 0, f"H={H} not divisible by ny={ny}"
@@ -207,6 +309,9 @@ def make_sharded_tiled_fluid_runner(cfg, mesh, tile_rows=None, unroll=8,
     TH = tile_rows if tile_rows is not None else _pick_local_tile_rows(h)
     assert h % TH == 0
     cfg_c = T._cfg_consts(cfg)
+    lean_on = bool(lean_split) and xw is None and ny >= 3
+    inflow_h = cfg_c["inflow_h"]
+    vel_obs = cfg_c["vel_obs"]
 
     def chunk_local(f, rho, vel, step0, k):
         row0 = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * h
@@ -227,9 +332,27 @@ def make_sharded_tiled_fluid_runner(cfg, mesh, tile_rows=None, unroll=8,
                 lbV, rbV = _xblocks(vel, xw[0], interpret)
                 lwA = _ext_windows(jnp.concatenate([lbF, lbV], 0), TH)
                 rwA = _ext_windows(jnp.concatenate([rbF, rbV], 0), TH)
-            f1, rho1, vel1 = _step_a(off, step_arr, f, vel, rho, tpA, btA,
-                                     cfg_c, TH, h, interpret,
-                                     xw, lwA, rwA)
+            if lean_on:
+                # shard provably above the tip for THIS step: its
+                # lowest computed row's stencil reach stays above the
+                # top obstacle row (walks_int - 1), +rounding guard
+                wi = jnp.floor(inflow_h + (step0 + float(j)) * vel_obs
+                               + 0.5)
+                pred = ((row0.astype(f32) >= wi + 3.0) & (row0 > 0)
+                        & (row0 + h < H))
+                f1, rho1, vel1 = jax.lax.cond(
+                    pred,
+                    lambda fa, va, ra, ta, ba, sa, oa: _step_a_lean(
+                        fa, ta, ba, cfg_c, TH, h, w, interpret),
+                    lambda fa, va, ra, ta, ba, sa, oa: _step_a(
+                        oa, sa, fa, va, ra, ta, ba, cfg_c, TH, h,
+                        interpret),
+                    f, vel, rho, tpA, btA, step_arr, off,
+                )
+            else:
+                f1, rho1, vel1 = _step_a(off, step_arr, f, vel, rho,
+                                         tpA, btA, cfg_c, TH, h,
+                                         interpret, xw, lwA, rwA)
             tpR, btR = _pieces(rho1[None])
             tpV1, btV1 = _pieces(vel1)
             tpB = jnp.concatenate([tpR, tpV1], axis=0)
@@ -240,8 +363,19 @@ def make_sharded_tiled_fluid_runner(cfg, mesh, tile_rows=None, unroll=8,
                 lbV1, rbV1 = _xblocks(vel1, xw[0], interpret)
                 lwB = _ext_windows(jnp.concatenate([lbR, lbV1], 0), TH)
                 rwB = _ext_windows(jnp.concatenate([rbR, rbV1], 0), TH)
-            f = _step_b(off, step_arr, f1, rho1, vel1, tpB, btB, cfg_c,
-                        TH, h, interpret, xw, lwB, rwB)
+            if lean_on:
+                f = jax.lax.cond(
+                    pred,
+                    lambda fa, ra, va, ta, ba, sa, oa: _step_b_lean(
+                        fa, ra, va, ta, ba, cfg_c, TH, h, w, interpret),
+                    lambda fa, ra, va, ta, ba, sa, oa: _step_b(
+                        oa, sa, fa, ra, va, ta, ba, cfg_c, TH, h,
+                        interpret),
+                    f1, rho1, vel1, tpB, btB, step_arr, off,
+                )
+            else:
+                f = _step_b(off, step_arr, f1, rho1, vel1, tpB, btB,
+                            cfg_c, TH, h, interpret, xw, lwB, rwB)
             rho, vel = rho1, vel1
         return f, rho, vel
 

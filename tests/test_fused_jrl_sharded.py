@@ -55,6 +55,34 @@ def test_sharded_tiled_jrl_fluid_matches_unfused(mesh_shape):
         )
 
 
+def test_sharded_fluid_lean_split_exact():
+    """r5 sharded lean split: interior shards provably above the tip
+    run the lean per-shard kernels via lax.cond. Must be EXACT vs the
+    full-kernel sharded runner (the full bodies' obstacle machinery is
+    identity there). (4, 1) mesh over an 80-row flat-tip grid: shard 2
+    (rows 40..59) satisfies the frontier predicate, shards 0/1/3 run
+    full — a shard-class boundary on both sides."""
+    from jrl_lbm_tpu.ops.pallas import fused_jrl_sharded as sh
+
+    cfg = jrl.JRLFluidConfig(
+        res=(96, 32), Re=4.0, vel_obs_real=0.2848,
+        gravity_strength_real=-9.8, shape="cylinder",
+    )
+    mesh = make_mesh((4, 1), devices=jax.devices()[:4])
+    state, fields = jrl.fluid_init(cfg)
+    n = 6
+    outs = []
+    for lean in (False, True):
+        run = sh.make_sharded_tiled_fluid_runner(
+            cfg, mesh, tile_rows=8, unroll=3, interpret=True,
+            lean_split=lean)
+        o = run(dict(state), fields, jnp.asarray(0, jnp.int32), n)
+        outs.append(jax.tree.map(np.asarray, o))
+    for key in ("f", "rho", "vel"):
+        np.testing.assert_array_equal(outs[0][key], outs[1][key],
+                                      err_msg=key)
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 1), (2, 2)])
 def test_sharded_tiled_c_balance_matches_unfused(mesh_shape):
     from jrl_lbm_tpu.ops.pallas import fused_jrl_sharded as sh
