@@ -37,7 +37,8 @@ def _run(env_extra, timeout):
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     out = json.loads(r.stdout.strip().splitlines()[-1])
-    for case in ("fluid_a", "fluid_b", "balance", "approach"):
+    for case in ("fluid_a", "fluid_b", "balance", "approach",
+                 "fluid_a_lean", "fluid_b_lean"):
         assert out[case] == "ok", out
     return out
 

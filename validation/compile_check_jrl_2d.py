@@ -179,10 +179,38 @@ def approach():
     fin("approach", *r)
 
 
+def fluid_a_lean():
+    # r5 sharded lean-split kernels: ROW-mesh only (shard width is the
+    # full W — the lean bodies' x-edge masks are global-column lane
+    # masks). Same real-compile treatment as the xw family —
+    # interpret-only CI ships latent Mosaic crashes (round-3 lesson).
+    f = rand((9, h, W))
+    z = jnp.zeros((11, 8, W), f32)
+    r = jax.jit(
+        lambda *a: sh._step_a_lean(*a, cfg_cf, TH, h, W, SMOKE)
+    )(f, z, z)
+    sync(r[0])
+    fin("fluid_a_lean", *r)
+
+
+def fluid_b_lean():
+    f1 = rand((9, h, W))
+    vel1 = rand((2, h, W)) * 0.01
+    rho1 = rand((h, W)) + 0.5
+    z = jnp.zeros((3, 8, W), f32)
+    r = jax.jit(
+        lambda *a: sh._step_b_lean(*a, cfg_cf, TH, h, W, SMOKE)
+    )(f1, rho1, vel1, z, z)
+    sync(r)
+    fin("fluid_b_lean", r)
+
+
 case("fluid_a", fluid_a)
 case("fluid_b", fluid_b)
 case("balance", balance)
 case("approach", approach)
+case("fluid_a_lean", fluid_a_lean)
+case("fluid_b_lean", fluid_b_lean)
 
 if not SMOKE:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -191,5 +219,6 @@ if not SMOKE:
         json.dump(out, fp, indent=1)
 print(json.dumps(out))
 ok = all(v == "ok" for k, v in out.items()
-         if k in ("fluid_a", "fluid_b", "balance", "approach"))
+         if k in ("fluid_a", "fluid_b", "balance", "approach",
+                  "fluid_a_lean", "fluid_b_lean"))
 sys.exit(0 if ok else 1)
